@@ -1,0 +1,266 @@
+"""The sketch pipeline: genomes -> device hash kernel -> SketchSet.
+
+TPU-native re-design of the reference sketch scheduler
+(/root/reference/src/sketch.cpp:318-593 fasta, 596-890 fastq).  Instead of
+per-file threads + per-thread hash sets, all genomes are concatenated into
+one logical **tape** of 2-bit codes (genomes and records separated by
+invalid sentinels so k-mers never span either), the tape is cut into
+uniform halo'd blocks, and fixed-shape batches of blocks stream through a
+single compiled device program:
+
+    hash windows (ops/kmer.py)  ->  on-device compaction
+
+The compaction is gather-based (cumsum of the keep mask + searchsorted +
+take), not scatter/sort-based: only the ~16**-drlevel surviving hashes and
+their tape positions cross the device->host link.  Capacity overflow (more
+survivors than the static buffer) is detected exactly via the returned
+count and handled by re-running that batch at full capacity — results are
+always exact.
+
+Dedup per genome (the reference's robin_hood per-genome hash sets,
+sketch.cpp:529) becomes: map kept tape positions -> genome via one
+searchsorted over genome start offsets, then np.unique per genome; the
+fastq k-mer abundance filter (sketch.cpp:826-838) is np.unique with
+counts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats import Sketch, SketchInfo, SketchSet
+from ..params import KssdParams
+from ..seqio import read_records
+from .. import shuffle as shuffle_mod
+from ..ops.kmer import encode_concat, hash_windows
+
+
+# --------------------------------------------------------------------------
+# device program: hash + compact
+# --------------------------------------------------------------------------
+
+def make_sketch_step(params: KssdParams, n_blocks: int, block: int, cap: int
+                     ) -> Callable:
+    """Compiled batch step.
+
+    (codes int8[n_blocks, block + K - 1], table int32[D]) ->
+      (h_lo u32[cap], h_hi u32[cap], pos i32[cap], total i32)
+
+    ``pos`` is the flat window index within the batch payload (block-major),
+    i.e. the tape offset relative to the batch start.  Entries beyond
+    ``total`` are undefined; ``total`` may exceed ``cap`` (overflow signal).
+    """
+    hasher = hash_windows(params)
+    halo = params.kmer_size - 1
+
+    @jax.jit
+    def step(codes, table):
+        valid = codes >= 0
+        h_lo, h_hi, keep = hasher(codes, valid, table)
+        # drop halo prefix: window ending at halo+j covers payload pos j
+        h_lo = h_lo[:, halo:].ravel()
+        h_hi = h_hi[:, halo:].ravel()
+        keep = keep[:, halo:].ravel()
+        csum = jnp.cumsum(keep.astype(jnp.int32))
+        total = csum[-1] if csum.size else jnp.int32(0)
+        targets = jnp.arange(1, cap + 1, dtype=jnp.int32)
+        pos = jnp.searchsorted(csum, targets, side="left", method="sort")
+        pos_c = jnp.minimum(pos, csum.size - 1).astype(jnp.int32)
+        out_lo = jnp.take(h_lo, pos_c, axis=0)
+        out_hi = jnp.take(h_hi, pos_c, axis=0)
+        return out_lo, out_hi, pos_c, total
+
+    return step
+
+
+# --------------------------------------------------------------------------
+# tape feeder
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _TapeBatch:
+    codes: np.ndarray  # int8[n_blocks, block + halo]
+    base: int  # tape offset of this batch's first payload position
+
+
+class TapeFeeder:
+    """Concatenates genome code arrays into fixed-shape halo'd batches.
+
+    Genomes are separated by one invalid sentinel (windows can never span
+    genomes since a window must be all-valid).  Tracks each genome's
+    [start, end) span in tape coordinates for position->genome mapping.
+    """
+
+    def __init__(self, genome_codes: Iterator[np.ndarray], n_blocks: int,
+                 block: int, halo: int):
+        self._src = genome_codes
+        self.n_blocks = n_blocks
+        self.block = block
+        self.halo = halo
+        self.starts: list[int] = []  # genome start offsets (tape coords)
+        self.ends: list[int] = []
+        self._tail = np.empty(0, dtype=np.int8)  # unconsumed tape
+        self._prev_halo = np.full(halo, -1, dtype=np.int8)
+        self._tape_len = 0
+        self._exhausted = False
+
+    def _pull(self, want: int) -> np.ndarray:
+        """Pull at least `want` payload codes (or until exhausted)."""
+        chunks = [self._tail]
+        have = len(self._tail)
+        sep = np.array([-1], dtype=np.int8)
+        while have < want and not self._exhausted:
+            try:
+                codes = next(self._src)
+            except StopIteration:
+                self._exhausted = True
+                break
+            self.starts.append(self._tape_len + have)
+            self.ends.append(self._tape_len + have + len(codes))
+            chunks.append(codes)
+            chunks.append(sep)
+            have += len(codes) + 1
+        return np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+
+    def __iter__(self) -> Iterator[_TapeBatch]:
+        payload = self.n_blocks * self.block
+        while True:
+            buf = self._pull(payload)
+            if len(buf) == 0 and self._exhausted:
+                return
+            cur, self._tail = buf[:payload], buf[payload:]
+            base = self._tape_len
+            self._tape_len += len(cur)
+            if len(cur) < payload:
+                cur = np.concatenate(
+                    [cur, np.full(payload - len(cur), -1, dtype=np.int8)]
+                )
+            # block rows with halos: row b covers payload [b*block,(b+1)*block)
+            rows = np.full((self.n_blocks, self.block + self.halo), -1, np.int8)
+            flat = np.concatenate([self._prev_halo, cur])
+            for b in range(self.n_blocks):
+                rows[b] = flat[b * self.block : b * self.block + self.block + self.halo]
+            self._prev_halo = cur[-self.halo :]
+            yield _TapeBatch(codes=rows, base=base)
+            if self._exhausted and len(self._tail) == 0:
+                return
+
+
+# --------------------------------------------------------------------------
+# sketcher
+# --------------------------------------------------------------------------
+
+class DeviceSketcher:
+    """Streams genomes through the device sketch step and collects sketches."""
+
+    def __init__(self, params: KssdParams, shuffled_dim: np.ndarray,
+                 n_blocks: int = 16, block: int = 1 << 17,
+                 least_qual: int = 0, least_num_kmer: int = 1):
+        self.params = params
+        self.least_qual = least_qual
+        self.least_num_kmer = least_num_kmer
+        self.n_blocks = n_blocks
+        self.block = block
+        self.table = jnp.asarray(shuffled_dim.astype(np.int32))
+        n = n_blocks * block
+        # capacity: 4x the expected survivor count, floor 64k
+        exp = n >> (4 * params.drlevel)
+        self.cap = min(n, max(1 << 16, 4 * exp))
+        self._step = make_sketch_step(params, n_blocks, block, self.cap)
+        self._step_full: Callable | None = None
+
+    # -- core ---------------------------------------------------------------
+    def sketch_codes(self, genome_codes: Iterator[np.ndarray]
+                     ) -> tuple[list[np.ndarray], int]:
+        """Run the pipeline over per-genome code arrays.
+
+        Returns (per-genome sorted-unique hash arrays, n_genomes).
+        """
+        p = self.params
+        halo = p.kmer_size - 1
+        feeder = TapeFeeder(genome_codes, self.n_blocks, self.block, halo)
+        pos_chunks: list[np.ndarray] = []
+        hash_chunks: list[np.ndarray] = []
+        for batch in feeder:
+            h_lo, h_hi, pos, total = self._step(batch.codes, self.table)
+            total = int(total)
+            if total > self.cap:  # rare exact-overflow fallback
+                if self._step_full is None:
+                    n = self.n_blocks * self.block
+                    self._step_full = make_sketch_step(
+                        p, self.n_blocks, self.block, n
+                    )
+                h_lo, h_hi, pos, total = self._step_full(batch.codes, self.table)
+                total = int(total)
+            h_lo = np.asarray(h_lo[:total])
+            pos_np = np.asarray(pos[:total]).astype(np.int64) + batch.base
+            if p.use64:
+                h = np.asarray(h_hi[:total]).astype(np.uint64) << np.uint64(32)
+                h |= h_lo.astype(np.uint64)
+            else:
+                h = h_lo.astype(np.uint32)
+            hash_chunks.append(h)
+            pos_chunks.append(pos_np)
+
+        n_genomes = len(feeder.starts)
+        dt = np.uint64 if p.use64 else np.uint32
+        if not hash_chunks:
+            return [np.empty(0, dt) for _ in range(n_genomes)], n_genomes
+        allh = np.concatenate(hash_chunks)
+        allp = np.concatenate(pos_chunks)
+        # position -> genome (starts are sorted; pos always within a span)
+        starts = np.asarray(feeder.starts, dtype=np.int64)
+        gidx = np.searchsorted(starts, allp, side="right") - 1
+        out: list[np.ndarray] = []
+        order = np.argsort(gidx, kind="stable")
+        gsorted = gidx[order]
+        hsorted = allh[order]
+        bounds = np.searchsorted(gsorted, np.arange(n_genomes + 1))
+        for g in range(n_genomes):
+            h = hsorted[bounds[g] : bounds[g + 1]]
+            if self.least_num_kmer > 1:
+                vals, counts = np.unique(h, return_counts=True)
+                vals = vals[counts >= self.least_num_kmer]
+            else:
+                vals = np.unique(h)
+            out.append(vals.astype(dt))
+        return out, n_genomes
+
+    # -- file-level API -------------------------------------------------------
+    def sketch_files(self, files: list[str]) -> SketchSet:
+        """Sketch each file as one genome (the reference's per-file unit,
+        sketch.cpp:455-566)."""
+
+        def gen() -> Iterator[np.ndarray]:
+            for path in files:
+                recs = [(r.seq, r.qual) for r in read_records(path)]
+                yield encode_concat(recs, self.least_qual)
+
+        hashes, n = self.sketch_codes(gen())
+        assert n == len(files)
+        p = self.params
+        info = SketchInfo(
+            id=p.sketch_id, half_k=p.half_k, half_subk=p.half_subk,
+            drlevel=p.drlevel, genome_number=len(files),
+        )
+        sketches = [Sketch(name=f, hashes=h) for f, h in zip(files, hashes)]
+        return SketchSet(info=info, sketches=sketches)
+
+
+def sketch_file_list(list_path: str, shuf: "shuffle_mod.ShuffleFile",
+                     least_qual: int = 0, least_num_kmer: int = 1,
+                     **kw) -> SketchSet:
+    """List-of-files entry point (the command_sketch engine,
+    reference subCommand.cpp:50-68)."""
+    from ..seqio import read_list
+
+    files = read_list(list_path)
+    params = KssdParams(half_k=shuf.k, half_subk=shuf.subk, drlevel=shuf.drlevel)
+    sk = DeviceSketcher(params, shuf.shuffled_dim, least_qual=least_qual,
+                        least_num_kmer=least_num_kmer, **kw)
+    return sk.sketch_files(files)

@@ -28,8 +28,6 @@ sort-unique or host np.unique).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -117,8 +115,8 @@ def _windows_all_valid(valid_i32, K: int):
     return (wsum == K) & pos_ok
 
 
-def make_hash_kernel(params: KssdParams):
-    """Build the jitted block-hash function for fixed params.
+def hash_windows(params: KssdParams):
+    """Block-hash function for fixed params (plain, composable under jit).
 
     Returned fn:  (codes int8[..., L], valid bool[..., L], table int32[D])
     -> (hash_lo u32[..., L], hash_hi u32[..., L], keep bool[..., L])
@@ -137,7 +135,6 @@ def make_hash_kernel(params: KssdParams):
     dimsize_mask = p.dim_size - 1
     dim_end = p.dim_end
 
-    @jax.jit
     def hash_blocks(codes, valid, table):
         codes_u32 = jnp.where(valid, codes, 0).astype(U32)
         fwd_lo, fwd_hi, rvs_lo, rvs_hi = _window_codes(codes_u32, K)
@@ -163,6 +160,11 @@ def make_hash_kernel(params: KssdParams):
         return h_lo, h_hi, keep
 
     return hash_blocks
+
+
+def make_hash_kernel(params: KssdParams):
+    """Jitted wrapper of :func:`hash_windows` (test / standalone use)."""
+    return jax.jit(hash_windows(params))
 
 
 # --------------------------------------------------------------------------

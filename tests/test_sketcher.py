@@ -1,0 +1,86 @@
+"""Sketch pipeline vs golden reference-binary sketches."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rabbitkssd_tpu.engine.sketcher import DeviceSketcher, sketch_file_list
+from rabbitkssd_tpu.formats import read_sketches
+from rabbitkssd_tpu.params import KssdParams
+from rabbitkssd_tpu.shuffle import read_shuffle_file
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _golden_sets(path):
+    sk = read_sketches(os.path.join(GOLDEN, path))
+    return {s.name: np.sort(s.hashes) for s in sk.sketches}, sk.info
+
+
+@pytest.mark.parametrize(
+    "shuf_name,golden,lst,kwargs",
+    [
+        ("k8s4l1.shuf", "fa_k8s4l1.sketch", "fa.list", {}),
+        ("k10s4l1.shuf", "fa_k10s4l1.sketch", "fa.list", {}),
+        ("k8s4l1.shuf", "fq_k8s4l1.sketch", "fq.list",
+         {"least_num_kmer": 2, "least_qual": 40}),
+    ],
+)
+def test_sketch_matches_reference(shuf_name, golden, lst, kwargs, monkeypatch):
+    monkeypatch.chdir(GOLDEN)
+    shuf = read_shuffle_file(os.path.join(GOLDEN, shuf_name))
+    ours = sketch_file_list(os.path.join(GOLDEN, lst), shuf,
+                            n_blocks=4, block=1 << 14, **kwargs)
+    want, info = _golden_sets(golden)
+    assert ours.info.id == info.id
+    assert ours.info.use64 == info.use64
+    assert len(ours.sketches) == len(want)
+    for s in ours.sketches:
+        np.testing.assert_array_equal(s.hashes, want[s.name], err_msg=s.name)
+        assert s.hashes.dtype == want[s.name].dtype
+
+
+def test_overflow_fallback(rng):
+    """drlevel small + tiny capacity forces the exact-overflow path."""
+    from rabbitkssd_tpu.shuffle import generate_shuffle
+
+    shuf = generate_shuffle(5, 4, 1)
+    params = KssdParams(half_k=5, half_subk=4, drlevel=1)
+    sk = DeviceSketcher(params, shuf.shuffled_dim, n_blocks=2, block=4096)
+    sk.cap = 64  # force overflow
+    from rabbitkssd_tpu.engine.sketcher import make_sketch_step
+
+    sk._step = make_sketch_step(params, 2, 4096, 64)
+    codes = (rng.integers(0, 4, size=30000)).astype(np.int8)
+    got, n = sk.sketch_codes(iter([codes]))
+    assert n == 1
+
+    sk2 = DeviceSketcher(params, shuf.shuffled_dim, n_blocks=2, block=4096)
+    want, _ = sk2.sketch_codes(iter([codes]))
+    np.testing.assert_array_equal(got[0], want[0])
+    assert got[0].size > 64  # overflow actually happened
+
+
+def test_many_small_genomes_one_tape(rng):
+    """Genome boundaries: many tiny genomes packed into shared blocks."""
+    from rabbitkssd_tpu.oracle import sketch_records_oracle
+    from rabbitkssd_tpu.shuffle import generate_shuffle
+
+    shuf = generate_shuffle(8, 4, 1)
+    params = KssdParams(half_k=8, half_subk=4, drlevel=1)
+    sk = DeviceSketcher(params, shuf.shuffled_dim, n_blocks=2, block=2048)
+    seqs = []
+    for i in range(37):
+        n = int(rng.integers(5, 900))
+        seqs.append(bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), n)))
+    codes = []
+    from rabbitkssd_tpu.ops.kmer import encode_concat
+
+    for s in seqs:
+        codes.append(encode_concat([(s, None)]))
+    got, n = sk.sketch_codes(iter(codes))
+    assert n == 37
+    for i, s in enumerate(seqs):
+        want = sketch_records_oracle([(s, None)], params, shuf.shuffled_dim)
+        np.testing.assert_array_equal(got[i], want, err_msg=f"genome {i}")
