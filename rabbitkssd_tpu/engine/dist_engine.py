@@ -1,0 +1,233 @@
+"""Distance pipelines: all-vs-all and ref-vs-query with exact reference output.
+
+Re-design of ``index_tridist`` / ``index_dist``
+(/root/reference/src/dist.cpp:22-343, 429-776).  The posting-list
+intersection counting runs on device as chunked MXU membership matmuls
+(ops/distance.py); the float math + text emission run on host with the
+reference's exact double semantics:
+
+* jaccard = common / (size0 + size1 - common); containment uses
+  min(size0, size1)  (dist.cpp:218-253)
+* mashD = -1/kmer_size * log(2j / (1+j)); aafD = -1/kmer_size * log(c);
+  the 0/1 special cases short-circuit (dist.cpp:225-231)
+* emitted with C++ ``std::to_string`` 6-decimal fixed formatting, rows
+  ``genome_j\\tgenome_i\\tcommon|size0|size1\\t...`` (dist.cpp:233-235);
+  header has a leading space (dist.cpp:291,725)
+* alldist threshold is strict ``< maxDist`` (dist.cpp:232); dist is
+  ``<= maxDist`` (dist.cpp:624) — an intentional reference quirk
+* top-N nearest neighbors replicate std::priority_queue pop order
+  exactly (utils/stdheap.py)
+* outputs > 4 GiB are left as an ``<out>.dir/`` directory of part files
+  plus an ``<out>.index`` genome->file map (dist.cpp:276-341)
+
+Bulk rows are pre-filtered with vectorized float64 numpy (with an ulp
+safety margin), then each surviving row is recomputed with scalar
+``math.log`` — the same glibc libm call the reference makes — so emitted
+text is bit-identical.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+
+import numpy as np
+
+from ..formats import SketchSet
+from ..ops.distance import common_counts
+from ..utils.stdheap import StdPriorityQueue
+
+MAX_SINGLE_FILE = 1 << 32  # 4 GiB split threshold (dist.cpp:277,711)
+HEADER = " genome0\tgenome1\tcommon|size0|size1\tjaccard\tmashD\n"
+
+
+def _d6(x: float) -> str:
+    """C++ std::to_string(double): fixed 6 decimals."""
+    return f"{x:.6f}"
+
+
+def _jaccard_mash(common: int, size0: int, size1: int, kmer_size: int
+                  ) -> tuple[float, float]:
+    denom = size0 + size1 - common
+    jaccard = 0.0 if (size0 == 0 or size1 == 0) else common / denom
+    if jaccard == 1.0:
+        mash = 0.0
+    elif jaccard == 0.0:
+        mash = 1.0
+    else:
+        mash = (-1.0 / kmer_size) * math.log((2 * jaccard) / (1.0 + jaccard))
+    return jaccard, mash
+
+
+def _containment_aaf(common: int, size0: int, size1: int, kmer_size: int
+                     ) -> tuple[float, float]:
+    denom = min(size0, size1)
+    cont = 0.0 if (size0 == 0 or size1 == 0) else common / denom
+    if cont == 1.0:
+        aaf = 0.0
+    elif cont == 0.0:
+        aaf = 1.0
+    else:
+        aaf = (-1.0 / kmer_size) * math.log(cont)
+    return cont, aaf
+
+
+def _bulk_dist(common_row: np.ndarray, size0, size1, kmer_size: int,
+               containment: bool) -> np.ndarray:
+    """Vectorized float64 distances for pre-filtering (not for emission)."""
+    c = common_row.astype(np.float64)
+    s0 = np.asarray(size0, np.float64)
+    s1 = np.asarray(size1, np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if containment:
+            j = np.where((s0 == 0) | (s1 == 0), 0.0, c / np.minimum(s0, s1))
+            d = (-1.0 / kmer_size) * np.log(np.maximum(j, 1e-300))
+        else:
+            j = np.where((s0 == 0) | (s1 == 0), 0.0,
+                         c / (s0 + s1 - c))
+            d = (-1.0 / kmer_size) * np.log(
+                np.maximum((2 * j) / (1.0 + j), 1e-300)
+            )
+    d = np.where(j == 1.0, 0.0, d)
+    d = np.where(j == 0.0, 1.0, d)
+    return d
+
+
+# safety margin for the ulp difference between np.log and math.log
+_EPS = 1e-9
+
+
+def alldist_rows(sk: SketchSet, common: np.ndarray, kmer_size: int,
+                 max_dist: float, containment: bool):
+    """Yield exact output rows of index_tridist (upper triangle, i-major)."""
+    names = [s.name for s in sk.sketches]
+    sizes = np.array([s.size for s in sk.sketches], np.int64)
+    n = len(names)
+    f = _containment_aaf if containment else _jaccard_mash
+    for i in range(n):
+        if i + 1 >= n:
+            continue
+        crow = common[i, i + 1 :]
+        bulk = _bulk_dist(crow, sizes[i], sizes[i + 1 :], kmer_size, containment)
+        cand = np.nonzero(bulk < max_dist + _EPS)[0]
+        for dj in cand:
+            j = i + 1 + int(dj)
+            jorc, d = f(int(common[i, j]), int(sizes[i]), int(sizes[j]),
+                        kmer_size)
+            if d < max_dist:
+                yield (
+                    f"{names[j]}\t{names[i]}\t{int(common[i, j])}|"
+                    f"{int(sizes[i])}|{int(sizes[j])}\t{_d6(jorc)}\t{_d6(d)}\n"
+                )
+
+
+@dataclasses.dataclass
+class _Neighbor:
+    ref_name: str
+    common: int
+    ref_size: int
+    jorc: float
+    dist: float
+
+
+def dist_rows(ref: SketchSet, query: SketchSet, common: np.ndarray,
+              kmer_size: int, max_dist: float, containment: bool,
+              max_neighbor: int = 0):
+    """Yield exact output rows of index_dist (query-major full rows).
+
+    common: int32 [n_query, n_ref].
+    """
+    rnames = [s.name for s in ref.sketches]
+    rsizes = np.array([s.size for s in ref.sketches], np.int64)
+    qnames = [s.name for s in query.sketches]
+    qsizes = np.array([s.size for s in query.sketches], np.int64)
+    is_neighbor = max_neighbor > 0
+    f = _containment_aaf if containment else _jaccard_mash
+    for i in range(len(qnames)):
+        size1 = int(qsizes[i])
+        crow = common[i]
+        bulk = _bulk_dist(crow, rsizes, size1, kmer_size, containment)
+        if is_neighbor:
+            cand = range(len(rnames))  # heap needs every passing row in order
+        else:
+            cand = np.nonzero(bulk <= max_dist + _EPS)[0]
+        queue: StdPriorityQueue[_Neighbor] = StdPriorityQueue(
+            lambda a, b: a.dist < b.dist
+        )
+        for j in cand:
+            j = int(j)
+            c = int(crow[j])
+            size0 = int(rsizes[j])
+            jorc, d = f(c, size0, size1, kmer_size)
+            if d <= max_dist:
+                if is_neighbor:
+                    nb = _Neighbor(rnames[j], c, size0, jorc, d)
+                    if len(queue) < max_neighbor:
+                        queue.push(nb)
+                    elif d < queue.top().dist:
+                        queue.push(nb)
+                        queue.pop()
+                else:
+                    yield (
+                        f"{qnames[i]}\t{rnames[j]}\t{c}|{size0}|{size1}\t"
+                        f"{_d6(jorc)}\t{_d6(d)}\n"
+                    )
+        if is_neighbor:
+            while len(queue):
+                t = queue.pop()
+                yield (
+                    f"{qnames[i]}\t{t.ref_name}\t{t.common}|{t.ref_size}|"
+                    f"{size1}\t{_d6(t.jorc)}\t{_d6(t.dist)}\n"
+                )
+
+
+def _write_rows(rows, names: list[str], output_file: str) -> None:
+    """Write header + rows; split into .dir + .index beyond 4 GiB
+    (dist.cpp:276-341)."""
+    tmp = output_file + ".part0"
+    total = 0
+    with open(tmp, "w") as f:
+        for r in rows:
+            total += f.write(r)
+    if total <= MAX_SINGLE_FILE:
+        with open(output_file, "w") as out, open(tmp) as src:
+            out.write(HEADER)
+            while True:
+                buf = src.read(1 << 24)
+                if not buf:
+                    break
+                out.write(buf)
+        os.remove(tmp)
+    else:
+        folder = output_file + ".dir"
+        os.makedirs(folder, exist_ok=True)
+        part = os.path.join(folder, os.path.basename(output_file) + ".0")
+        os.replace(tmp, part)
+        with open(output_file + ".index", "w") as f:
+            f.write("genomeName\tdistFileName\n")
+            for name in names:
+                f.write(f"{name}\t{part}\n")
+
+
+def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
+                containment: bool) -> None:
+    """command_alldist engine (reference subCommand.cpp:149-200)."""
+    hashes = [s.hashes for s in sk.sketches]
+    common = common_counts(hashes, None)
+    kmer_size = 2 * sk.info.half_k
+    rows = alldist_rows(sk, common, kmer_size, max_dist, containment)
+    _write_rows(rows, [s.name for s in sk.sketches], output_file)
+
+
+def run_dist(ref: SketchSet, query: SketchSet, output_file: str,
+             max_dist: float, containment: bool, max_neighbor: int = 0
+             ) -> None:
+    """command_dist engine (reference subCommand.cpp:203-305)."""
+    qh = [s.hashes for s in query.sketches]
+    rh = [s.hashes for s in ref.sketches]
+    common = common_counts(qh, rh)
+    kmer_size = 2 * ref.info.half_k
+    rows = dist_rows(ref, query, common, kmer_size, max_dist, containment,
+                     max_neighbor)
+    _write_rows(rows, [s.name for s in query.sketches], output_file)

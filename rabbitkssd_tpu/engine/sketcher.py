@@ -27,6 +27,7 @@ counts.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Iterator
 
 import jax
@@ -234,7 +235,16 @@ class DeviceSketcher:
     # -- file-level API -------------------------------------------------------
     def sketch_files(self, files: list[str]) -> SketchSet:
         """Sketch each file as one genome (the reference's per-file unit,
-        sketch.cpp:455-566)."""
+        sketch.cpp:455-566).
+
+        Files are processed largest-first (stable), matching the
+        reference's size-descending schedule (cmpFile, sketch.cpp:39-41,
+        348-378) — its single-thread sketch order, which also determines
+        the i/j orientation of distance rows.
+        """
+        sizes = [os.stat(p).st_size for p in files]
+        order = sorted(range(len(files)), key=lambda i: -sizes[i])
+        files = [files[i] for i in order]
 
         def gen() -> Iterator[np.ndarray]:
             for path in files:

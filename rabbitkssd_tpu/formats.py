@@ -255,8 +255,8 @@ def read_index(dict_path: str, index_path: str, use64: bool):
 
 # co_dstat_t with C struct padding (reference sketch.h:38-47):
 # u32 shuf_id; u8 koc; 3 pad; i32 kmerlen; i32 dim_rd_len; i32 comp_num;
-# i32 infile_num; 4 pad(align 8); u64 all_ctx_ct  -> 32 bytes
-_CO_DSTAT = struct.Struct("<IB3x4i4xQ")
+# i32 infile_num; u64 all_ctx_ct (offset 24 is already 8-aligned) -> 32 B
+_CO_DSTAT = struct.Struct("<IB3x4iQ")
 
 
 def read_kssd_dir(input_dir: str) -> SketchSet:

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from . import _config  # noqa: F401  (persistent compile cache)
 import numpy as np
 
 from ..params import KssdParams

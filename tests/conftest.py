@@ -1,23 +1,49 @@
-"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+"""Test configuration.
 
-Must run before the first `import jax` anywhere in the test session so the
-multi-chip sharding paths (pjit/shard_map over a Mesh) are exercised
-without TPU hardware.
+In this environment JAX runs on the platform the session provides — a
+real TPU chip when available (the `axon` PJRT plugin registered by
+sitecustomize overrides ``JAX_PLATFORMS``), CPU otherwise.  Correctness
+tests are platform-agnostic and benefit from running on real hardware.
+
+Multi-chip sharding tests need N devices; they re-exec themselves in a
+subprocess with the axon plugin disabled and a virtual 8-device CPU
+backend (see ``cpu_mesh_env``), the standard way to fake a pod without
+hardware.
 """
 
 import os
+import subprocess
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import numpy as np  # noqa: E402
-import pytest  # noqa: E402
+import numpy as np
+import pytest
 
 
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)
+
+
+def cpu_mesh_env(n_devices: int = 8) -> dict:
+    """Environment forcing a virtual n-device CPU backend."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # disables the axon plugin
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_devices}"
+    ).strip()
+    return env
+
+
+def run_in_cpu_mesh(code: str, n_devices: int = 8, timeout: int = 600) -> str:
+    """Run a python snippet under the virtual CPU mesh; returns stdout."""
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=cpu_mesh_env(n_devices),
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    return proc.stdout
