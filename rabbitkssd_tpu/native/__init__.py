@@ -1,0 +1,110 @@
+"""Native (C++) host runtime components.
+
+The reference's host-side hot paths are native C++ (RabbitFX chunked
+readers, robin_hood sets, glibc-rand shuffling).  The TPU build keeps
+host streaming/bookkeeping native too: sources in ``src/`` are compiled
+on demand into a shared library loaded via ctypes (no pybind11 in this
+environment).  Every entry point has a pure-Python fallback so the
+package works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+
+_SRC_DIR = os.path.join(os.path.dirname(__file__), "src")
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+
+def _build_dir() -> str:
+    d = os.environ.get(
+        "RABBITKSSD_TPU_NATIVE_DIR",
+        os.path.expanduser("~/.cache/rabbitkssd_tpu/native"),
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _sources() -> list[str]:
+    return sorted(
+        os.path.join(_SRC_DIR, f)
+        for f in os.listdir(_SRC_DIR)
+        if f.endswith(".cpp")
+    )
+
+
+def load_native():
+    """Compile (if needed) and load the native library; None on failure."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        try:
+            srcs = _sources()
+            import hashlib
+
+            h = hashlib.sha256()
+            for s in srcs:
+                with open(s, "rb") as f:
+                    h.update(f.read())
+            so = os.path.join(_build_dir(), f"libkssd_{h.hexdigest()[:16]}.so")
+            if not os.path.exists(so):
+                cmd = [
+                    "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                    "-std=c++17", "-fopenmp", *srcs, "-lz", "-o", so + ".tmp",
+                ]
+                subprocess.run(cmd, check=True, capture_output=True)
+                os.replace(so + ".tmp", so)
+            _LIB = ctypes.CDLL(so)
+        except Exception as e:  # toolchain absent -> python fallbacks
+            print(f"rabbitkssd_tpu: native build unavailable ({e}); "
+                  f"using Python fallbacks", file=sys.stderr)
+            _LIB = None
+        if _LIB is not None:
+            import ctypes as ct
+
+            _LIB.kssd_fasta_codes.restype = ct.c_int
+            _LIB.kssd_fasta_codes.argtypes = [
+                ct.c_char_p, ct.c_int,
+                ct.POINTER(ct.POINTER(ct.c_int8)), ct.POINTER(ct.c_int64),
+            ]
+            _LIB.kssd_free.argtypes = [ct.c_void_p]
+        return _LIB
+
+
+def fasta_codes(path: str, least_qual: int = 0):
+    """Native FASTA/FASTQ(.gz) -> int8 code tape; None if unavailable.
+
+    Equivalent to ``encode_concat([(r.seq, r.qual) for r in
+    read_records(path)], least_qual)`` but parses + encodes in one
+    native streaming pass (the RabbitFX role, reference sketch.cpp:401).
+    """
+    import ctypes as ct
+
+    import numpy as np
+
+    lib = load_native()
+    if lib is None:
+        return None
+    out = ct.POINTER(ct.c_int8)()
+    n = ct.c_int64()
+    rc = lib.kssd_fasta_codes(path.encode(), int(least_qual),
+                              ct.byref(out), ct.byref(n))
+    if rc != 0:
+        raise IOError(f"native fasta reader failed (rc={rc}) on {path}")
+    try:
+        if n.value == 0:
+            return np.empty(0, np.int8)
+        arr = np.ctypeslib.as_array(out, shape=(n.value,)).astype(
+            np.int8, copy=True
+        )
+    finally:
+        lib.kssd_free(out)
+    return arr

@@ -7,6 +7,7 @@ take minutes per shape).  Users override via the standard JAX env vars.
 """
 
 import os
+import threading
 
 import jax
 
@@ -17,3 +18,39 @@ _dir = os.environ.get(
 os.makedirs(_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _warm_transfer_channel():
+    """Touch the device->host path once, off the critical path.
+
+    On relay-attached TPUs the FIRST device->host read of a process
+    pays a very large fixed setup cost (minutes); later reads are
+    milliseconds.  Warming it in a daemon thread overlaps that cost
+    with host-side work (corpus IO, parsing, compiles).
+    """
+    try:
+        import jax.numpy as jnp
+        import numpy as np
+
+        x = jax.jit(lambda: jnp.zeros(1 << 15, jnp.int32))()
+        np.asarray(x)
+    except Exception:
+        pass
+
+
+_warm_thread: threading.Thread | None = None
+if os.environ.get("RABBITKSSD_TPU_WARM_XFER", "1") == "1":
+    _warm_thread = threading.Thread(target=_warm_transfer_channel,
+                                    daemon=True, name="kssd-xfer-warmup")
+    _warm_thread.start()
+
+
+def wait_warm(timeout: float | None = None) -> None:
+    """Block until the transfer channel warmup finished (no-op if off).
+
+    Call before a timed/latency-sensitive device region: a cold-channel
+    read stalls every other device operation behind it, so overlapping
+    only helps when there is host-side work to hide it under.
+    """
+    if _warm_thread is not None:
+        _warm_thread.join(timeout)

@@ -32,26 +32,29 @@ import numpy as np
 MAX_CHUNK = 1 << 22
 
 
-@functools.partial(jax.jit, static_argnames=("n0", "n1", "n_cols"))
-def _common_chunk(g0, c0, g1, c1, n0: int, n1: int, n_cols: int):
-    """Intersection counts for one vocab chunk.
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("n_cols",))
+def _common_chunk_acc(acc, g0, c0, g1, c1, n_cols: int):
+    """Accumulate one vocab chunk's intersection counts into ``acc``.
 
+    acc: donated int32[n0, n1] device carry (no per-chunk readback —
+    small device->host transfers are pathological on remote TPUs).
     g*, c*: int32 padded (genome id, column) pairs; pads carry col =
     n_cols which `.at[..., mode='drop']` discards.
-    Returns int32[n0, n1].
     """
+    n0, n1 = acc.shape
     m0 = jnp.zeros((n0, n_cols), jnp.bfloat16).at[g0, c0].set(
         1, mode="drop", unique_indices=True
     )
     m1 = jnp.zeros((n1, n_cols), jnp.bfloat16).at[g1, c1].set(
         1, mode="drop", unique_indices=True
     )
-    acc = jax.lax.dot_general(
+    part = jax.lax.dot_general(
         m0, m1,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    return acc.astype(jnp.int32)
+    return acc + part.astype(jnp.int32)
 
 
 def _pad_len(n: int) -> int:
@@ -128,16 +131,20 @@ def common_counts(hashes0: list[np.ndarray], hashes1: list[np.ndarray] | None,
         g1, c1 = _memberships(hashes1, vocab)
 
     n_chunks = -(-len(vocab) // chunk)
+    acc = jnp.zeros((n0, n1), jnp.int32)
     for ci in range(n_chunks):
         lo, hi = ci * chunk, min(len(vocab), (ci + 1) * chunk)
+        # uniform chunk width so every call reuses one executable
+        width = chunk if n_chunks > 1 else hi - lo
         s0 = slice(*np.searchsorted(c0, [lo, hi]))
         s1 = slice(*np.searchsorted(c1, [lo, hi])) if not symmetric else s0
-        pg0, pc0 = _pad_pairs(g0[s0], c0[s0] - lo, hi - lo)
+        pg0, pc0 = _pad_pairs(g0[s0], c0[s0] - lo, width)
         if symmetric:
             pg1, pc1 = pg0, pc0
         else:
-            pg1, pc1 = _pad_pairs(g1[s1], c1[s1] - lo, hi - lo)
-        part = _common_chunk(pg0, pc0, pg1, pc1, n0=n0, n1=n1,
-                             n_cols=hi - lo)
-        out += np.asarray(part)
+            pg1, pc1 = _pad_pairs(g1[s1], c1[s1] - lo, width)
+        acc = _common_chunk_acc(acc, pg0, pc0, pg1, pc1, n_cols=width)
+    from .hostxfer import read_array
+
+    out[:] = read_array(acc)
     return out

@@ -1,0 +1,67 @@
+"""Device->host transfer discipline for remote-attached TPUs.
+
+On tunnel/relay-attached TPU chips (axon), device->host reads below
+~64 KiB fall into a latency path costing seconds, while bulk reads move
+at full bandwidth.  Every readback in this package therefore goes
+through these helpers: buffers are read as power-of-two bucketed slabs
+with a 128 KiB floor, and scalars are packed into a padded slab.
+Host->device direction is unaffected (cheap at any size).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import _config  # noqa: F401
+
+PAD_I32 = 1 << 15  # 32k int32 = 128 KiB
+
+
+@functools.partial(jax.jit, static_argnames=("bucket",))
+def _prefix_jit(buf, bucket: int):
+    return jax.lax.dynamic_slice(buf, (0,), (bucket,))
+
+
+def read_prefix(buf, n: int) -> np.ndarray:
+    """Read the first n elements of a 1-D device buffer (bucketed)."""
+    if n == 0:
+        return np.empty(0, buf.dtype)
+    bucket = PAD_I32
+    while bucket < n:
+        bucket <<= 1
+    bucket = min(bucket, buf.shape[0])
+    return np.asarray(_prefix_jit(buf, bucket))[:n]
+
+
+@jax.jit
+def _pad_flat_jit(arr):
+    flat = arr.ravel()
+    if flat.size >= PAD_I32:
+        return flat
+    return jnp.zeros(PAD_I32, flat.dtype).at[: flat.size].set(flat)
+
+
+def read_array(arr) -> np.ndarray:
+    """Read a whole device array, padding tiny ones to the 128 KiB floor."""
+    shape = arr.shape
+    flat = np.asarray(_pad_flat_jit(arr))
+    n = int(np.prod(shape)) if shape else 1
+    return flat[:n].reshape(shape)
+
+
+@jax.jit
+def pack_scalars_jit(*scalars):
+    out = jnp.zeros(PAD_I32, jnp.int32)
+    for i, s in enumerate(scalars):
+        out = out.at[i].set(s.astype(jnp.int32))
+    return out
+
+
+def read_scalars(*scalars) -> list[int]:
+    """Read device scalars in one padded transfer."""
+    packed = np.asarray(pack_scalars_jit(*scalars))
+    return [int(packed[i]) for i in range(len(scalars))]

@@ -1,0 +1,210 @@
+"""Sharded pipelines over a device mesh (shard_map + collectives).
+
+The reference is single-node OpenMP (SURVEY §2: per-thread privatization
++ reduction, /root/reference/src/sketch.cpp:411-435, dist.cpp:143-204).
+The TPU-native scale-out re-expresses those patterns on a 2-D
+``("dp", "vp")`` mesh:
+
+* **dp (data parallel)** — genome blocks / genome rows shard across dp.
+  The sketch tape's blocks are embarrassingly parallel (halo'd blocks,
+  ops/kmer.py), so the per-thread hash sets of the reference become
+  per-device compacted hash streams, merged on host (a set-union
+  reduce).
+* **vp (vocabulary parallel)** — the hash-vocabulary axis of the
+  distance membership matmul shards across vp; each device computes a
+  partial intersection count over its vocab slice and the true count is
+  a ``psum`` over vp — exactly the per-thread partial-counter
+  reduction of the reference (dist.cpp:143,167) as an ICI collective.
+
+Everything is expressed with ``shard_map`` over ``jax.sharding.Mesh``
+so XLA inserts the collectives; no hand-scheduled communication.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import _config  # noqa: F401
+from ..ops.kmer import hash_windows
+from ..params import KssdParams
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """Best 2-D ("dp", "vp") mesh over the first n devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    dp = 1
+    for cand in range(int(math.isqrt(n)), 0, -1):
+        if n % cand == 0:
+            dp = cand
+            break
+    vp = n // dp
+    arr = np.asarray(devices).reshape(dp, vp)
+    return Mesh(arr, ("dp", "vp"))
+
+
+# --------------------------------------------------------------------------
+# sharded sketch step
+# --------------------------------------------------------------------------
+
+def make_sharded_sketch_step(params: KssdParams, mesh: Mesh, n_blocks: int,
+                             block: int, cap: int):
+    """Data-parallel sketch step over all mesh devices.
+
+    codes int8[n_shards * n_blocks, block + K - 1] (sharded on axis 0)
+    -> per-shard compacted (h_lo, h_hi, pos, total), each leading axis
+    n_shards.  ``pos`` is relative to the shard's payload start.
+    """
+    hasher = hash_windows(params)
+    halo = params.kmer_size - 1
+    axes = ("dp", "vp")
+
+    def shard_fn(codes, table):
+        valid = codes >= 0
+        h_lo, h_hi, keep = hasher(codes, valid, table)
+        h_lo = h_lo[:, halo:].ravel()
+        h_hi = h_hi[:, halo:].ravel()
+        keep = keep[:, halo:].ravel()
+        csum = jnp.cumsum(keep.astype(jnp.int32))
+        total = csum[-1]
+        targets = jnp.arange(1, cap + 1, dtype=jnp.int32)
+        pos = jnp.searchsorted(csum, targets, side="left", method="sort")
+        pos_c = jnp.minimum(pos, csum.size - 1).astype(jnp.int32)
+        out = (jnp.take(h_lo, pos_c)[None], jnp.take(h_hi, pos_c)[None],
+               pos_c[None], total[None])
+        return out
+
+    sharded = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axes, None), P()),
+        out_specs=(P(axes), P(axes), P(axes), P(axes)),
+    )
+    return jax.jit(sharded)
+
+
+# --------------------------------------------------------------------------
+# sharded distance step
+# --------------------------------------------------------------------------
+
+def make_sharded_common_step(mesh: Mesh, rows_per_dp: int, n1: int,
+                             cols_per_vp: int, cap0: int, cap1: int):
+    """Intersection counts with genome rows on dp and vocab columns on vp.
+
+    Inputs (host-prepared, padded):
+      g0 int32[dp, vp, cap0]  row ids (local to the dp shard)
+      c0 int32[dp, vp, cap0]  column ids (local to the vp slice; pads
+                              carry cols_per_vp -> dropped)
+      g1, c1 int32[vp, cap1]  the "other side", sharded over vp only
+                              (replicated across dp)
+    Output int32[dp * rows_per_dp, n1]: true counts after psum over vp.
+    """
+
+    def shard_fn(g0, c0, g1, c1):
+        m0 = jnp.zeros((rows_per_dp, cols_per_vp), jnp.bfloat16)
+        m0 = m0.at[g0[0, 0], c0[0, 0]].set(1, mode="drop",
+                                           unique_indices=True)
+        m1 = jnp.zeros((n1, cols_per_vp), jnp.bfloat16)
+        m1 = m1.at[g1[0], c1[0]].set(1, mode="drop", unique_indices=True)
+        part = jax.lax.dot_general(
+            m0, m1, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # per-thread partial counters -> ICI all-reduce (dist.cpp:143)
+        return jax.lax.psum(part.astype(jnp.int32), "vp")[None]
+
+    sharded = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("dp", "vp", None), P("dp", "vp", None),
+                  P("vp", None), P("vp", None)),
+        out_specs=P("dp", None, None),
+    )
+
+    @jax.jit
+    def step(g0, c0, g1, c1):
+        out = sharded(g0, c0, g1, c1)  # [dp, rows_per_dp, n1]
+        return out.reshape(-1, n1)
+
+    return step
+
+
+def sharded_common_counts(hashes0: list[np.ndarray],
+                          hashes1: list[np.ndarray] | None,
+                          mesh: Mesh) -> np.ndarray:
+    """Mesh-parallel version of ops.distance.common_counts.
+
+    Rows of side 0 shard over dp; the vocabulary shards over vp; side 1
+    is replicated across dp.  Exact (same math as the single-chip path).
+    """
+    from ..ops.distance import _memberships
+
+    symmetric = hashes1 is None
+    if symmetric:
+        allh = (np.concatenate(hashes0) if hashes0 else np.empty(0, np.uint64))
+        vocab, counts = np.unique(allh, return_counts=True)
+        vocab = vocab[counts >= 2]
+        hashes1 = hashes0
+    else:
+        v0 = np.unique(np.concatenate(hashes0)) if hashes0 else np.empty(0)
+        v1 = np.unique(np.concatenate(hashes1)) if hashes1 else np.empty(0)
+        vocab = np.intersect1d(v0, v1)
+
+    n0, n1 = len(hashes0), len(hashes1)
+    if len(vocab) == 0:
+        return np.zeros((n0, n1), np.int32)
+
+    dp, vp = mesh.devices.shape
+    rows_per_dp = -(-n0 // dp)
+    cols_per_vp = -(-len(vocab) // vp)
+
+    g0, c0 = _memberships(hashes0, vocab)
+    g1, c1 = _memberships(hashes1, vocab) if not symmetric else (g0, c0)
+
+    def split_pairs(g, c, split_rows: bool):
+        """Partition pairs into the [dp?, vp, cap] padded layout."""
+        buckets = []
+        cap = 0
+        row_groups = dp if split_rows else 1
+        for r in range(row_groups):
+            row_lo, row_hi = r * rows_per_dp, (r + 1) * rows_per_dp
+            if split_rows:
+                sel = (g >= row_lo) & (g < row_hi)
+                gg, cc = g[sel] - row_lo, c[sel]
+            else:
+                gg, cc = g, c
+            row_buckets = []
+            for v in range(vp):
+                lo, hi = v * cols_per_vp, (v + 1) * cols_per_vp
+                sel_v = (cc >= lo) & (cc < hi)
+                row_buckets.append((gg[sel_v], cc[sel_v] - lo))
+                cap = max(cap, int(sel_v.sum()))
+            buckets.append(row_buckets)
+        cap = max(1024, 1 << (cap - 1).bit_length()) if cap else 1024
+        shape = (row_groups, vp, cap) if split_rows else (vp, cap)
+        G = np.zeros(shape, np.int32)
+        C = np.full(shape, cols_per_vp, np.int32)
+        for r, row_buckets in enumerate(buckets):
+            for v, (gg, cc) in enumerate(row_buckets):
+                if split_rows:
+                    G[r, v, : len(gg)] = gg
+                    C[r, v, : len(cc)] = cc
+                else:
+                    G[v, : len(gg)] = gg
+                    C[v, : len(cc)] = cc
+        return G, C, cap
+
+    G0, C0, cap0 = split_pairs(g0, c0, split_rows=True)
+    G1, C1, cap1 = split_pairs(g1, c1, split_rows=False)
+
+    step = make_sharded_common_step(mesh, rows_per_dp, n1, cols_per_vp,
+                                    cap0, cap1)
+    out = np.asarray(step(G0, C0, G1, C1))
+    return out[:n0]

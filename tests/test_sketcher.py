@@ -42,16 +42,16 @@ def test_sketch_matches_reference(shuf_name, golden, lst, kwargs, monkeypatch):
 
 
 def test_overflow_fallback(rng):
-    """drlevel small + tiny capacity forces the exact-overflow path."""
+    """drlevel small + tiny per-batch capacity forces the exact-overflow
+    re-run of the flush window."""
+    from rabbitkssd_tpu.engine.sketcher import make_stream_step
     from rabbitkssd_tpu.shuffle import generate_shuffle
 
     shuf = generate_shuffle(5, 4, 1)
     params = KssdParams(half_k=5, half_subk=4, drlevel=1)
     sk = DeviceSketcher(params, shuf.shuffled_dim, n_blocks=2, block=4096)
-    sk.cap = 64  # force overflow
-    from rabbitkssd_tpu.engine.sketcher import make_sketch_step
-
-    sk._step = make_sketch_step(params, 2, 4096, 64)
+    sk.cap = 64  # force per-batch overflow
+    sk._step = make_stream_step(params, 2, 4096, sk.cap, sk.buf_cap)
     codes = (rng.integers(0, 4, size=30000)).astype(np.int8)
     got, n = sk.sketch_codes(iter([codes]))
     assert n == 1
