@@ -45,7 +45,7 @@ def log(*a):
 # --------------------------------------------------------------------------
 
 def ensure_corpus() -> str:
-    tag = f"n{N_GENOMES}_l{GENOME_LEN}"
+    tag = f"v2_n{N_GENOMES}_l{GENOME_LEN}"
     root = os.path.join(BENCH_DIR, tag)
     list_path = os.path.join(root, "bacteria.list")
     if os.path.exists(os.path.join(root, "DONE")):
@@ -54,12 +54,18 @@ def ensure_corpus() -> str:
     rng = np.random.default_rng(2024)
     n_anc = 8
     bases = np.frombuffer(b"ACGT", np.uint8)
-    ancestors = [rng.integers(0, 4, size=GENOME_LEN, dtype=np.int8)
+    ancestors = [rng.integers(0, 4, size=int(1.3 * GENOME_LEN) + 128,
+                              dtype=np.int8)
                  for _ in range(n_anc)]
     files = []
     t0 = time.time()
     for g in range(N_GENOMES):
-        anc = ancestors[g % n_anc]
+        # unique per-genome length: the reference orders genomes by file
+        # size with an UNSTABLE sort (sketch.cpp:39-41), so equal sizes
+        # would make row orientation nondeterministic
+        glen = int(GENOME_LEN * (0.7 + 0.6 * g / max(N_GENOMES - 1, 1)))
+        glen -= glen % 100
+        anc = ancestors[g % n_anc][:glen]
         rate = 10 ** rng.uniform(-2.6, -0.7)  # SNP rate 0.25%..20%
         n_mut = int(len(anc) * rate)
         seq = anc.copy()
@@ -205,6 +211,20 @@ def rows(path):
         return sorted(f.readlines()[1:])
 
 
+def canonical_rows(path):
+    """Rows normalized for pair orientation (i/j order is tie-broken
+    arbitrarily by the reference's unstable size sort)."""
+    out = set()
+    with open(path) as f:
+        next(f)
+        for line in f:
+            g0, g1, csz, j, d = line.rstrip("\n").split("\t")
+            c, s0, s1 = csz.split("|")
+            a, b = sorted([(g0, s1), (g1, s0)])
+            out.add((a, b, c, j, d))
+    return out
+
+
 def main() -> int:
     # start the device transfer-channel warmup immediately: its one-time
     # relay setup (minutes on cold processes) overlaps corpus generation
@@ -222,9 +242,12 @@ def main() -> int:
     if baseline is not None:
         ref_wall, ref_out = baseline
         same = rows(ours_out) == rows(ref_out)
-        log(f"row equality vs reference: {same}")
+        log(f"strict row equality vs reference: {same}")
         if not same:
-            log("WARNING: output rows differ from the reference!")
+            canon = canonical_rows(ours_out) == canonical_rows(ref_out)
+            log(f"canonical (orientation-insensitive) equality: {canon}")
+            if not canon:
+                log("WARNING: output rows differ from the reference!")
         vs = ref_wall / ours_wall
     print(json.dumps({
         "metric": f"sketch+alldist wall, {N_GENOMES} genomes x "

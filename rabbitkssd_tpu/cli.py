@@ -17,6 +17,8 @@ import sys
 
 import numpy as np
 
+from .utils.timers import phase
+
 
 def _eprint(*a):
     print(*a, file=sys.stderr)
@@ -112,20 +114,24 @@ def _load_or_sketch(list_or_sketch: str, shuf_file: str, is_query: bool,
     from .shuffle import read_shuffle_file
 
     if is_sketch_file(list_or_sketch):
-        sk = read_sketches(list_or_sketch)
+        with phase(f"read sketches from {list_or_sketch}"):
+            sk = read_sketches(list_or_sketch)
         sketch_out = list_or_sketch
         if build_index_if_missing:
             idx, dic = sketch_out + ".index", sketch_out + ".dict"
             if not (os.path.exists(idx) and os.path.exists(dic)):
-                write_index(sk, dic, idx)
+                with phase("transSketches"):
+                    write_index(sk, dic, idx)
         return sk, sketch_out
     shuf = read_shuffle_file(shuf_file)
-    sk = sketch_file_list(list_or_sketch, shuf, least_qual=least_qual,
-                          least_num_kmer=least_num_kmer)
-    sketch_out = list_or_sketch + ".sketch"
-    save_sketches(sk, sketch_out)
+    with phase("computing sketches and save sketches into file"):
+        sk = sketch_file_list(list_or_sketch, shuf, least_qual=least_qual,
+                              least_num_kmer=least_num_kmer)
+        sketch_out = list_or_sketch + ".sketch"
+        save_sketches(sk, sketch_out)
     if build_index_if_missing:
-        write_index(sk, sketch_out + ".dict", sketch_out + ".index")
+        with phase("transSketches"):
+            write_index(sk, sketch_out + ".dict", sketch_out + ".index")
     return sk, sketch_out
 
 
@@ -164,13 +170,15 @@ def cmd_sketch(args) -> int:
         return 0
     _eprint(f"---read the shuffle file: {args.shuf_file}")
     shuf = read_shuffle_file(args.shuf_file)
-    sk = sketch_file_list(args.input, shuf, least_qual=args.leastQuality,
-                          least_num_kmer=args.leastNumKmer)
-    out = args.output if args.output.endswith(".sketch") else args.output + ".sketch"
-    save_sketches(sk, out)
+    with phase("computing sketches and save sketches into file"):
+        sk = sketch_file_list(args.input, shuf, least_qual=args.leastQuality,
+                              least_num_kmer=args.leastNumKmer)
+        out = args.output if args.output.endswith(".sketch") else args.output + ".sketch"
+        save_sketches(sk, out)
     _eprint(f"save the sketches into: {out}")
     if not args.query:
-        write_index(sk, out + ".dict", out + ".index")
+        with phase("transSketches"):
+            write_index(sk, out + ".dict", out + ".index")
     return 0
 
 
@@ -184,8 +192,9 @@ def cmd_alldist(args) -> int:
     sk, _ = _load_or_sketch(args.input, args.shuf_file, False,
                             args.leastQuality, args.leastNumKmer,
                             build_index_if_missing=True)
-    run_alldist(sk, args.output, max_dist=args.maxDist,
-                containment=bool(args.metric))
+    with phase("index_tridist distance computing"):
+        run_alldist(sk, args.output, max_dist=args.maxDist,
+                    containment=bool(args.metric))
     return 0
 
 
@@ -210,9 +219,10 @@ def cmd_dist(args) -> int:
             "reference and query datasets"
         )
         return 1
-    run_dist(ref, query, args.output, max_dist=args.maxDist,
-             containment=bool(args.metric),
-             max_neighbor=args.neighborN_max or 0)
+    with phase("index_dist distance computing"):
+        run_dist(ref, query, args.output, max_dist=args.maxDist,
+                 containment=bool(args.metric),
+                 max_neighbor=args.neighborN_max or 0)
     return 0
 
 

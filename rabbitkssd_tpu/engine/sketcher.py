@@ -40,7 +40,20 @@ from ..params import KssdParams
 from ..seqio import read_records
 from .. import shuffle as shuffle_mod
 from ..ops.hostxfer import read_prefix, read_scalars
-from ..ops.kmer import encode_concat, hash_windows
+from ..ops.kmer import (
+    encode_concat,
+    hash_windows,
+    pack_codes_sparse_np,
+    pad_exceptions,
+    unpack_codes2,
+)
+
+
+def aligned_halo(params: KssdParams) -> int:
+    """Halo rounded up to a multiple of 8 so packed rows stay byte- and
+    bit-aligned (any halo >= kmer_size-1 is correct; extra positions are
+    covered by the previous block's payload or invalid padding)."""
+    return -(-(params.kmer_size - 1) // 8) * 8
 
 
 # --------------------------------------------------------------------------
@@ -96,14 +109,26 @@ def make_stream_step(params: KssdParams, n_blocks: int, block: int, cap: int,
     buf_*: int32/uint32[buf_cap] carry (donated); count: device scalar
     write offset; overflow: sticky flag (batch survivors > cap, or
     buffer full) — checked once per flush, triggering an exact re-run.
+
+    Inputs arrive 2-bit packed (packed2 u8[n_blocks, (block+halo)/4]) plus
+    a padded list of invalid flat positions (exc i32[cap_exc], pads out of
+    range) — the host->device link is the throughput bottleneck on
+    tunnel-attached chips; unpacking and the validity scatter run on
+    device.  ``halo`` is the 8-aligned :func:`aligned_halo`.
     """
     hasher = hash_windows(params)
-    halo = params.kmer_size - 1
+    halo = aligned_halo(params)
 
     @jax.jit
-    def step(codes, table, buf_lo, buf_hi, buf_pos, buf_batch, count,
-             overflow, batch_idx):
-        valid = codes >= 0
+    def step(packed2, exc, table, buf_lo, buf_hi, buf_pos, buf_batch,
+             count, overflow, batch_idx):
+        codes = unpack_codes2(packed2)
+        flat = codes.size
+        valid = (
+            jnp.ones((flat,), jnp.bool_)
+            .at[exc].set(False, mode="drop", unique_indices=True)
+            .reshape(codes.shape)
+        )
         h_lo, h_hi, keep = hasher(codes, valid, table)
         h_lo = h_lo[:, halo:].ravel()
         h_hi = h_hi[:, halo:].ravel()
@@ -222,6 +247,9 @@ class DeviceSketcher:
         self.n_blocks = n_blocks
         self.block = block
         self.table = jnp.asarray(shuffled_dim.astype(np.int32))
+        from ..ops import _config
+
+        _config.start_warm()
         n = n_blocks * block
         # per-batch capacity: 4x the expected survivor count, floor 16k
         exp = n >> (4 * params.drlevel)
@@ -246,7 +274,7 @@ class DeviceSketcher:
         read back as large slabs per flush window.
         """
         p = self.params
-        halo = p.kmer_size - 1
+        halo = aligned_halo(p)
         payload = self.n_blocks * self.block
         feeder = TapeFeeder(genome_codes, self.n_blocks, self.block, halo)
         pos_chunks: list[np.ndarray] = []
@@ -273,8 +301,9 @@ class DeviceSketcher:
                                               full.cap, full.buf_cap)
                 for b in pending_batches:
                     fb = full._fresh_buffers()
-                    fb = full._step(b.codes, self.table, *fb,
-                                    jnp.int32(0))
+                    p2, exc = pack_codes_sparse_np(b.codes)
+                    exc = pad_exceptions(exc, b.codes.size)
+                    fb = full._step(p2, exc, self.table, *fb, jnp.int32(0))
                     _collect(fb, [b])
                 bufs = self._fresh_buffers()
                 return
@@ -307,13 +336,40 @@ class DeviceSketcher:
             hash_chunks.append(h)
             pos_chunks.append(gpos)
 
-        for batch in feeder:
+        # producer thread: parse+pack+H2D overlap with device execution
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=8)
+
+        def producer():
+            try:
+                for batch in feeder:
+                    p2, exc = pack_codes_sparse_np(batch.codes)
+                    exc = pad_exceptions(exc, batch.codes.size)
+                    q.put((jax.device_put(p2), jax.device_put(exc), batch))
+            except BaseException as e:  # surface in consumer
+                q.put(e)
+                return
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True,
+                             name="kssd-feed")
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            d2, dexc, batch = item
             if len(pending) == window:
                 flush(pending)
                 pending = []
-            bufs = self._step(batch.codes, self.table, *bufs,
+            bufs = self._step(d2, dexc, self.table, *bufs,
                               jnp.int32(len(pending)))
             pending.append(batch)
+        t.join()
         if pending:
             flush(pending)
 

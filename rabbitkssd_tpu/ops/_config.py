@@ -39,18 +39,36 @@ def _warm_transfer_channel():
 
 
 _warm_thread: threading.Thread | None = None
-if os.environ.get("RABBITKSSD_TPU_WARM_XFER", "1") == "1":
-    _warm_thread = threading.Thread(target=_warm_transfer_channel,
-                                    daemon=True, name="kssd-xfer-warmup")
-    _warm_thread.start()
+_warm_lock = threading.Lock()
+
+
+def start_warm() -> None:
+    """Start the transfer-channel warmup in a daemon thread (idempotent).
+
+    NOT started at import: a process that imports jax but exits without
+    device work would tear down the interpreter while the thread is in
+    native PJRT code (segfault).  Pipelines call this when real device
+    work begins — by the time results are read, the channel is warm (or
+    the read itself waits on the same one-time setup).
+    """
+    global _warm_thread
+    if os.environ.get("RABBITKSSD_TPU_WARM_XFER", "1") != "1":
+        return
+    with _warm_lock:
+        if _warm_thread is None:
+            _warm_thread = threading.Thread(target=_warm_transfer_channel,
+                                            daemon=True,
+                                            name="kssd-xfer-warmup")
+            _warm_thread.start()
 
 
 def wait_warm(timeout: float | None = None) -> None:
-    """Block until the transfer channel warmup finished (no-op if off).
+    """Block until the transfer channel warmup finished.
 
     Call before a timed/latency-sensitive device region: a cold-channel
     read stalls every other device operation behind it, so overlapping
     only helps when there is host-side work to hide it under.
     """
+    start_warm()
     if _warm_thread is not None:
         _warm_thread.join(timeout)

@@ -107,6 +107,9 @@ def common_counts(hashes0: list[np.ndarray], hashes1: list[np.ndarray] | None,
     contribute off-diagonal, mirroring what the reference's posting lists
     count, dist.cpp:193-204).  Returns int32 [n0, n1] (or [n0, n0]).
     """
+    from . import _config
+
+    _config.start_warm()
     symmetric = hashes1 is None
     if symmetric:
         allh = (np.concatenate(hashes0) if hashes0 else np.empty(0, np.uint64))

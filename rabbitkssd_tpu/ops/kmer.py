@@ -117,6 +117,68 @@ def _windows_all_valid(valid_i32, K: int):
     return (wsum == K) & pos_ok
 
 
+def unpack_codes2(packed):
+    """uint8[..., B] -> uint8[..., 4B] 2-bit codes (base i at bits 2*(i%4)).
+
+    The host->device link is the bottleneck on tunnel-attached chips, so
+    bases travel packed 4-per-byte and unpack on the VPU.
+    """
+    x = packed[..., :, None] >> jnp.array([0, 2, 4, 6], jnp.uint8)
+    return (x & jnp.uint8(3)).reshape(*packed.shape[:-1], -1)
+
+
+def unpack_valid1(packed):
+    """uint8[..., B] -> bool[..., 8B] (bit i of byte = position 8j+i)."""
+    x = packed[..., :, None] >> jnp.array(range(8), jnp.uint8)
+    return ((x & jnp.uint8(1)) != 0).reshape(*packed.shape[:-1], -1)
+
+
+def pack_codes_np(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host side: int8 codes (-1 invalid) -> (packed2 u8, valid1 u8).
+
+    Last axis must be a multiple of 8.  Inverse of unpack_codes2/
+    unpack_valid1.
+    """
+    assert codes.shape[-1] % 8 == 0
+    valid = codes >= 0
+    vals = np.where(valid, codes, 0).astype(np.uint8)
+    v4 = vals.reshape(*codes.shape[:-1], -1, 4)
+    packed2 = (v4[..., 0] | (v4[..., 1] << 2) | (v4[..., 2] << 4)
+               | (v4[..., 3] << 6)).astype(np.uint8)
+    packed1 = np.packbits(valid, axis=-1, bitorder="little")
+    return packed2, packed1
+
+
+def pack_codes_sparse_np(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """int8 codes (-1 invalid) -> (packed2 u8, exception positions i32).
+
+    Invalid bases (N runs, low-quality, record/genome separators) are
+    typically <1% of the tape, so shipping their flat positions beats a
+    dense 1-bit mask — every host->device byte counts on tunnel links.
+    Positions index the flattened ``codes``.
+    """
+    assert codes.shape[-1] % 4 == 0
+    valid = codes >= 0
+    vals = np.where(valid, codes, 0).astype(np.uint8)
+    v4 = vals.reshape(*codes.shape[:-1], -1, 4)
+    packed2 = (v4[..., 0] | (v4[..., 1] << 2) | (v4[..., 2] << 4)
+               | (v4[..., 3] << 6)).astype(np.uint8)
+    exc = np.nonzero(~valid.ravel())[0].astype(np.int32)
+    return packed2, exc
+
+
+def pad_exceptions(exc: np.ndarray, flat_size: int, floor: int = 1024
+                   ) -> np.ndarray:
+    """Pad exception positions to a power-of-two bucket; pads carry
+    ``flat_size`` (out of range -> dropped by the device scatter)."""
+    cap = floor
+    while cap < len(exc):
+        cap <<= 1
+    out = np.full(cap, flat_size, np.int32)
+    out[: len(exc)] = exc
+    return out
+
+
 def hash_windows(params: KssdParams):
     """Block-hash function for fixed params (plain, composable under jit).
 
