@@ -43,17 +43,18 @@ from ..ops.hostxfer import read_prefix, read_scalars
 from ..ops.kmer import (
     encode_concat,
     hash_windows,
+    hash_windows_stream,
     pack_codes_sparse_np,
+    packed_to_words_np,
     pad_exceptions,
-    unpack_codes2,
 )
 
 
 def aligned_halo(params: KssdParams) -> int:
-    """Halo rounded up to a multiple of 8 so packed rows stay byte- and
-    bit-aligned (any halo >= kmer_size-1 is correct; extra positions are
+    """Halo rounded up to a multiple of 16 so packed rows stay u32-word-
+    aligned (any halo >= kmer_size-1 is correct; extra positions are
     covered by the previous block's payload or invalid padding)."""
-    return -(-(params.kmer_size - 1) // 8) * 8
+    return -(-(params.kmer_size - 1) // 16) * 16
 
 
 # --------------------------------------------------------------------------
@@ -116,20 +117,20 @@ def make_stream_step(params: KssdParams, n_blocks: int, block: int, cap: int,
     tunnel-attached chips; unpacking and the validity scatter run on
     device.  ``halo`` is the 8-aligned :func:`aligned_halo`.
     """
-    hasher = hash_windows(params)
+    hasher = hash_windows_stream(params)
     halo = aligned_halo(params)
 
     @jax.jit
-    def step(packed2, exc, table, buf_lo, buf_hi, buf_pos, buf_batch,
+    def step(words, exc, table, buf_lo, buf_hi, buf_pos, buf_batch,
              count, overflow, batch_idx):
-        codes = unpack_codes2(packed2)
-        flat = codes.size
+        nb, nw = words.shape
+        L = 16 * (nw - 2)
         valid = (
-            jnp.ones((flat,), jnp.bool_)
+            jnp.ones((nb * L,), jnp.bool_)
             .at[exc].set(False, mode="drop", unique_indices=True)
-            .reshape(codes.shape)
+            .reshape(nb, L)
         )
-        h_lo, h_hi, keep = hasher(codes, valid, table)
+        h_lo, h_hi, keep = hasher(words, valid, table)
         h_lo = h_lo[:, halo:].ravel()
         h_hi = h_hi[:, halo:].ravel()
         keep = keep[:, halo:].ravel()
@@ -303,7 +304,8 @@ class DeviceSketcher:
                     fb = full._fresh_buffers()
                     p2, exc = pack_codes_sparse_np(b.codes)
                     exc = pad_exceptions(exc, b.codes.size)
-                    fb = full._step(p2, exc, self.table, *fb, jnp.int32(0))
+                    fb = full._step(packed_to_words_np(p2), exc,
+                                    self.table, *fb, jnp.int32(0))
                     _collect(fb, [b])
                 bufs = self._fresh_buffers()
                 return
@@ -347,7 +349,8 @@ class DeviceSketcher:
                 for batch in feeder:
                     p2, exc = pack_codes_sparse_np(batch.codes)
                     exc = pad_exceptions(exc, batch.codes.size)
-                    q.put((jax.device_put(p2), jax.device_put(exc), batch))
+                    q.put((jax.device_put(packed_to_words_np(p2)),
+                           jax.device_put(exc), batch))
             except BaseException as e:  # surface in consumer
                 q.put(e)
                 return

@@ -232,6 +232,148 @@ def make_hash_kernel(params: KssdParams):
 
 
 # --------------------------------------------------------------------------
+# bitstream formulation: O(1) work per window instead of a K-step unroll
+# --------------------------------------------------------------------------
+
+def _rev2_32(x):
+    """Reverse the order of the 16 2-bit groups in each uint32 lane."""
+    m2 = jnp.uint32(0x33333333)
+    m4 = jnp.uint32(0x0F0F0F0F)
+    m8 = jnp.uint32(0x00FF00FF)
+    x = ((x & m2) << 2) | ((x >> 2) & m2)
+    x = ((x & m4) << 4) | ((x >> 4) & m4)
+    x = ((x & m8) << 8) | ((x >> 8) & m8)
+    return (x << 16) | (x >> 16)
+
+
+def _shift_right_fill(x, t: int):
+    """x[i] -> x[i-t] along the last axis (t may be negative = left)."""
+    if t == 0:
+        return x
+    n = x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 1)
+    if t > 0:
+        return jnp.pad(x, pad + [(t, 0)])[..., :n]
+    return jnp.pad(x, pad + [(0, -t)])[..., -t:]
+
+
+def hash_windows_stream(params: KssdParams):
+    """Bitstream hash kernel: same contract as :func:`hash_windows` but
+    taking the 2-bit **packed word stream** directly.
+
+    The packed stream already holds every window's bits contiguously, so
+    the forward code of the window ending at i is a variable-shift
+    extraction from words W[s>>4], W[s>>4+1], W[s>>4+2] (s = i-K+1) —
+    O(1) vector ops per window instead of the kmer_size-step shift-OR
+    unroll, and the reverse complement is a 4-step 2-bit-group reversal.
+    This is the performance-critical reformulation: the unrolled version
+    costs ~K HBM passes; this one is a handful.
+
+    fn: (words u32[..., nw], valid bool[..., L]) with L = 16*(nw-2)
+        -> (hash_lo, hash_hi, keep) per window position in [0, L).
+    Base i of the tape lives at bits 2*(i%16) of word i//16 (the layout
+    produced by pack_codes_sparse_np + a u32 little-endian view, with 2
+    zero pad words appended per row).
+    """
+    p = params
+    K = p.kmer_size
+    TB = 2 * K  # total window bits
+    hoc2 = 2 * p.half_outctx_len
+    subk4 = 4 * p.half_subk
+    pf_bits = 4 * (p.half_subk - p.drlevel)
+    dimsize_mask = p.dim_size - 1
+    dim_end = p.dim_end
+
+    def fwd_mask(lo, hi):
+        if TB >= 64:
+            return lo, hi
+        if TB > 32:
+            return lo, hi & jnp.uint32((1 << (TB - 32)) - 1)
+        if TB == 32:
+            return lo, jnp.zeros_like(hi)
+        return lo & jnp.uint32((1 << TB) - 1), jnp.zeros_like(hi)
+
+    def hash_stream(words, valid):
+        nw = words.shape[-1]
+        L = 16 * (nw - 2)
+        lead = words.shape[:-1]
+
+        # A_i = W[(i-K+1)>>4], B = next word, C = next — via one repeat
+        wr = jnp.repeat(words, 16, axis=-1)  # wr[j] = W[j//16]
+        a = _shift_right_fill(wr, K - 1)[..., :L]
+        b = _shift_right_fill(wr, K - 1 - 16)[..., :L]
+        c = _shift_right_fill(wr, K - 1 - 32)[..., :L]
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (*lead, L), len(lead))
+        sh = (2 * ((iota - (K - 1)) & 15)).astype(jnp.uint32)
+        nz = sh != 0
+        ish = jnp.uint32(32) - sh
+        # E = the window's stream bits: OLDEST base in the low bits
+        e_lo = jnp.where(nz, (a >> sh) | (b << ish), a)
+        e_hi = jnp.where(nz, (b >> sh) | (c << ish), b)
+        e_lo, e_hi = fwd_mask(e_lo, e_hi)
+
+        # rvs (complemented, newest at high bits) = complement(E)
+        r_lo = e_lo ^ jnp.uint32(0xFFFFFFFF)
+        r_hi = e_hi ^ jnp.uint32(0xFFFFFFFF)
+        r_lo, r_hi = fwd_mask(r_lo, r_hi)
+
+        # fwd (newest at low bits) = 2-bit-group reversal of E
+        t_lo, t_hi = _rev2_32(e_hi), _rev2_32(e_lo)
+        shift = 64 - TB
+        if shift == 0:
+            f_lo, f_hi = t_lo, t_hi
+        elif shift < 32:
+            f_lo = (t_lo >> shift) | (t_hi << (32 - shift))
+            f_hi = t_hi >> shift
+        else:
+            f_lo = t_hi >> (shift - 32) if shift > 32 else t_hi
+            f_hi = jnp.zeros_like(t_hi)
+        f_lo, f_hi = fwd_mask(f_lo, f_hi)
+
+        ok = _windows_all_valid(valid.astype(jnp.int32), K)
+
+        use_fwd = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo <= r_lo))
+        uni_lo = jnp.where(use_fwd, f_lo, r_lo)
+        uni_hi = jnp.where(use_fwd, f_hi, r_hi)
+
+        dim_id = _extract_field(uni_lo, uni_hi, hoc2, subk4) & jnp.uint32(
+            dimsize_mask
+        )
+        return uni_lo, uni_hi, dim_id, ok
+
+    def hash_full(words, valid, table):
+        uni_lo, uni_hi, dim_id, ok = hash_stream(words, valid)
+        pf = jnp.take(table, dim_id.astype(jnp.int32), axis=0)
+        keep = ok & (pf >= 0) & (pf < dim_end)
+        pf_u = pf.astype(U32)
+        h_lo = pf_u
+        h_hi = jnp.zeros_like(pf_u)
+        if hoc2 > 0:
+            low_outer = _extract_field(uni_lo, uni_hi, 0, hoc2)
+            high_outer = _extract_field(uni_lo, uni_hi, hoc2 + subk4, hoc2)
+            h_lo, h_hi = _deposit_field(h_lo, h_hi, low_outer, pf_bits, hoc2)
+            h_lo, h_hi = _deposit_field(h_lo, h_hi, high_outer,
+                                        pf_bits + hoc2, hoc2)
+        return h_lo, h_hi, keep
+
+    hash_full.windows = hash_stream
+    return hash_full
+
+
+def packed_to_words_np(packed2: np.ndarray) -> np.ndarray:
+    """Host: packed 2-bit rows u8[..., B] (B % 4 == 0) -> u32 word rows
+    with 2 zero pad words appended (the layout hash_windows_stream
+    expects)."""
+    assert packed2.shape[-1] % 4 == 0
+    w = np.ascontiguousarray(packed2).view("<u4").reshape(
+        *packed2.shape[:-1], -1
+    )
+    pad = np.zeros((*w.shape[:-1], 2), np.uint32)
+    return np.concatenate([w, pad], axis=-1)
+
+
+# --------------------------------------------------------------------------
 # Host-side genome -> block packing
 # --------------------------------------------------------------------------
 
