@@ -96,7 +96,7 @@ def make_sketch_step(params: KssdParams, n_blocks: int, block: int, cap: int
 
 
 def make_stream_step(params: KssdParams, n_blocks: int, block: int, cap: int,
-                     buf_cap: int) -> Callable:
+                     buf_cap: int, compaction: str = "auto") -> Callable:
     """Compiled streaming batch step with device-resident accumulation.
 
     Device->host transfers on remote-attached TPUs are latency-bound
@@ -134,11 +134,47 @@ def make_stream_step(params: KssdParams, n_blocks: int, block: int, cap: int,
         h_lo = h_lo[:, halo:].ravel()
         h_hi = h_hi[:, halo:].ravel()
         keep = keep[:, halo:].ravel()
-        csum = jnp.cumsum(keep.astype(jnp.int32))
+        n = keep.size
+
+        # survivors are a ~16^-drlevel fraction; at high reduction a
+        # two-level compaction (select 32-window groups containing any
+        # survivor, then compact only those) replaces the full-length
+        # sort-searchsorted with two small ones
+        sparse = (compaction == "auto" and params.drlevel >= 3
+                  and n % 32 == 0)
+        o_flag = jnp.bool_(False)
+        if sparse:
+            G = n // 32
+            g_cap = min(G, max(4096, 4 * (n >> (4 * params.drlevel)) // 32))
+            gflag = (keep.reshape(G, 32).sum(axis=1, dtype=jnp.int32) > 0)
+            gcsum = jnp.cumsum(gflag.astype(jnp.int32))
+            n_sel = gcsum[-1]
+            gt = jnp.arange(1, g_cap + 1, dtype=jnp.int32)
+            sel = jnp.minimum(
+                jnp.searchsorted(gcsum, gt, side="left", method="sort"),
+                G - 1,
+            ).astype(jnp.int32)
+            sub_pos = (
+                sel[:, None] * 32
+                + jnp.arange(32, dtype=jnp.int32)[None, :]
+            ).ravel()
+            grp_ok = (
+                jax.lax.broadcasted_iota(jnp.int32, (g_cap, 32), 0) < n_sel
+            ).ravel()
+            keep_c = jnp.take(keep, sub_pos) & grp_ok
+            o_flag = n_sel > g_cap
+            pos_space = sub_pos
+        else:
+            keep_c = keep
+            pos_space = None
+
+        csum = jnp.cumsum(keep_c.astype(jnp.int32))
         total = csum[-1]
         targets = jnp.arange(1, cap + 1, dtype=jnp.int32)
         pos = jnp.searchsorted(csum, targets, side="left", method="sort")
         pos_c = jnp.minimum(pos, csum.size - 1).astype(jnp.int32)
+        if pos_space is not None:
+            pos_c = jnp.take(pos_space, pos_c)
         out_lo = jnp.take(h_lo, pos_c, axis=0)
         out_hi = jnp.take(h_hi, pos_c, axis=0)
         bidx = jnp.full((cap,), batch_idx, jnp.int32)
@@ -150,7 +186,8 @@ def make_stream_step(params: KssdParams, n_blocks: int, block: int, cap: int,
         buf_batch = jax.lax.dynamic_update_slice(buf_batch, bidx, (start,))
         wrote = jnp.minimum(total, cap)
         new_count = start + wrote
-        overflow = overflow | (total > cap) | (count > buf_cap - cap)
+        overflow = (overflow | o_flag | (total > cap)
+                    | (count > buf_cap - cap))
         return buf_lo, buf_hi, buf_pos, buf_batch, new_count, overflow
 
     return step
@@ -299,7 +336,8 @@ class DeviceSketcher:
                 full.cap = payload
                 full.buf_cap = max(self.buf_cap, 2 * payload)
                 full._step = make_stream_step(p, self.n_blocks, self.block,
-                                              full.cap, full.buf_cap)
+                                              full.cap, full.buf_cap,
+                                              compaction="dense")
                 for b in pending_batches:
                     fb = full._fresh_buffers()
                     p2, exc = pack_codes_sparse_np(b.codes)

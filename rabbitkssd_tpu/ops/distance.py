@@ -133,12 +133,22 @@ def common_counts(hashes0: list[np.ndarray], hashes1: list[np.ndarray] | None,
     else:
         g1, c1 = _memberships(hashes1, vocab)
 
+    # bucket every jit-visible dimension (remote compiles cost minutes):
+    # genome counts to multiples of 128, vocab width to powers of two
+    def _r128(n):
+        return -(-n // 128) * 128
+
+    n0p, n1p = _r128(n0), _r128(n1)
     n_chunks = -(-len(vocab) // chunk)
-    acc = jnp.zeros((n0, n1), jnp.int32)
+    width = chunk
+    if n_chunks == 1:
+        width = 1024
+        while width < len(vocab):
+            width <<= 1
+        width = min(width, chunk)
+    acc = jnp.zeros((n0p, n1p), jnp.int32)
     for ci in range(n_chunks):
         lo, hi = ci * chunk, min(len(vocab), (ci + 1) * chunk)
-        # uniform chunk width so every call reuses one executable
-        width = chunk if n_chunks > 1 else hi - lo
         s0 = slice(*np.searchsorted(c0, [lo, hi]))
         s1 = slice(*np.searchsorted(c1, [lo, hi])) if not symmetric else s0
         pg0, pc0 = _pad_pairs(g0[s0], c0[s0] - lo, width)
@@ -149,5 +159,5 @@ def common_counts(hashes0: list[np.ndarray], hashes1: list[np.ndarray] | None,
         acc = _common_chunk_acc(acc, pg0, pc0, pg1, pc1, n_cols=width)
     from .hostxfer import read_array
 
-    out[:] = read_array(acc)
+    out[:] = read_array(acc)[:n0, :n1]
     return out
