@@ -210,11 +210,23 @@ def _write_rows(rows, names: list[str], output_file: str) -> None:
                 f.write(f"{name}\t{part}\n")
 
 
+def _counts(hashes0, hashes1):
+    """Intersection counts, sharded over the device mesh when more than
+    one device is attached (dp rows x vp vocabulary, psum over vp)."""
+    import jax
+
+    if len(jax.devices()) > 1:
+        from ..parallel.sharded import make_mesh, sharded_common_counts
+
+        return sharded_common_counts(hashes0, hashes1, make_mesh())
+    return common_counts(hashes0, hashes1)
+
+
 def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
                 containment: bool) -> None:
     """command_alldist engine (reference subCommand.cpp:149-200)."""
     hashes = [s.hashes for s in sk.sketches]
-    common = common_counts(hashes, None)
+    common = _counts(hashes, None)
     kmer_size = 2 * sk.info.half_k
     rows = alldist_rows(sk, common, kmer_size, max_dist, containment)
     _write_rows(rows, [s.name for s in sk.sketches], output_file)
@@ -226,7 +238,7 @@ def run_dist(ref: SketchSet, query: SketchSet, output_file: str,
     """command_dist engine (reference subCommand.cpp:203-305)."""
     qh = [s.hashes for s in query.sketches]
     rh = [s.hashes for s in ref.sketches]
-    common = common_counts(qh, rh)
+    common = _counts(qh, rh)
     kmer_size = 2 * ref.info.half_k
     rows = dist_rows(ref, query, common, kmer_size, max_dist, containment,
                      max_neighbor)

@@ -4,10 +4,10 @@ Re-design of the reference producer-consumer + bitmap subcommands
 (/root/reference/src/subCommand.cpp:307-543 union, 545-794 sub,
 796-892 merge, 13-47 convert, 70-147 info).  The reference privatizes a
 hash-space bitmap per consumer thread and OR-reduces; here set algebra
-runs on sorted hash arrays (sorted-merge union / membership subtract),
-streaming genome-by-genome — the per-genome arrays are tiny compared to
-the 2^32-bit bitmaps the reference allocates per thread.  Sharded
-device bitmaps take over at pod scale (parallel/setops_sharded.py).
+runs on sorted hash arrays (chunked concat-unique union / membership
+subtract), streaming genome-by-genome — the per-genome arrays are tiny
+compared to the 2^32-bit bitmaps the reference allocates per thread,
+and sorted arrays are the canonical on-device representation.
 """
 
 from __future__ import annotations
@@ -28,6 +28,26 @@ from ..formats import (
 )
 
 
+def _streaming_union(hash_arrays, dtype, chunk_elems: int = 1 << 26
+                     ) -> np.ndarray:
+    """Union many sorted hash arrays: accumulate ~chunk_elems then
+    np.unique — O(total log total), memory-bounded (the reference
+    allocates a 2^32-bit bitmap per consumer instead,
+    subCommand.cpp:338)."""
+    acc = np.empty(0, dtype)
+    pending: list[np.ndarray] = []
+    pending_n = 0
+    for h in hash_arrays:
+        pending.append(h)
+        pending_n += h.size
+        if pending_n >= chunk_elems:
+            acc = np.unique(np.concatenate([acc, *pending]))
+            pending, pending_n = [], 0
+    if pending:
+        acc = np.unique(np.concatenate([acc, *pending]))
+    return acc.astype(dtype)
+
+
 def union_sketch_file(sketch_file: str, output_file: str) -> SketchSet:
     """All genomes' hash sets -> one merged sketch (command_union).
 
@@ -36,12 +56,10 @@ def union_sketch_file(sketch_file: str, output_file: str) -> SketchSet:
     bitmap in hash order too, subCommand.cpp:493-525).
     """
     info, _, _ = read_sketch_header(sketch_file)
-    acc: np.ndarray | None = None
-    for _, h in iter_sketches(sketch_file):
-        hs = np.unique(h)
-        acc = hs if acc is None else np.union1d(acc, hs)
     dt = np.uint64 if info.use64 else np.uint32
-    merged = acc if acc is not None else np.empty(0, dt)
+    merged = _streaming_union(
+        (h for _, h in iter_sketches(sketch_file)), dt
+    )
     out = SketchSet(
         info=SketchInfo(info.id, info.half_k, info.half_subk, info.drlevel, 1),
         sketches=[Sketch(name=sketch_file + " merged sketches",
@@ -63,12 +81,10 @@ def sub_sketch_files(ref_sketch_file: str, query_sketch_file: str,
             "the sketch infos between subtraction reference and query "
             "sketches are not same"
         )
-    ref_union: np.ndarray | None = None
-    for _, h in iter_sketches(ref_sketch_file):
-        hs = np.unique(h)
-        ref_union = hs if ref_union is None else np.union1d(ref_union, hs)
-    if ref_union is None:
-        ref_union = np.empty(0, np.uint64)
+    ref_union = _streaming_union(
+        (h for _, h in iter_sketches(ref_sketch_file)),
+        np.uint64 if ref_info.use64 else np.uint32,
+    )
 
     sketches = []
     for name, h in iter_sketches(query_sketch_file):

@@ -47,6 +47,7 @@ from ..ops.kmer import (
     pack_codes_sparse_np,
     packed_to_words_np,
     pad_exceptions,
+    searchsorted_i32,
 )
 
 
@@ -150,10 +151,7 @@ def make_stream_step(params: KssdParams, n_blocks: int, block: int, cap: int,
             gcsum = jnp.cumsum(gflag.astype(jnp.int32))
             n_sel = gcsum[-1]
             gt = jnp.arange(1, g_cap + 1, dtype=jnp.int32)
-            sel = jnp.minimum(
-                jnp.searchsorted(gcsum, gt, side="left", method="sort"),
-                G - 1,
-            ).astype(jnp.int32)
+            sel = jnp.minimum(searchsorted_i32(gcsum, gt), G - 1)
             sub_pos = (
                 sel[:, None] * 32
                 + jnp.arange(32, dtype=jnp.int32)[None, :]
@@ -171,8 +169,8 @@ def make_stream_step(params: KssdParams, n_blocks: int, block: int, cap: int,
         csum = jnp.cumsum(keep_c.astype(jnp.int32))
         total = csum[-1]
         targets = jnp.arange(1, cap + 1, dtype=jnp.int32)
-        pos = jnp.searchsorted(csum, targets, side="left", method="sort")
-        pos_c = jnp.minimum(pos, csum.size - 1).astype(jnp.int32)
+        pos = searchsorted_i32(csum, targets)
+        pos_c = jnp.minimum(pos, csum.size - 1)
         if pos_space is not None:
             pos_c = jnp.take(pos_space, pos_c)
         out_lo = jnp.take(h_lo, pos_c, axis=0)
@@ -452,15 +450,37 @@ class DeviceSketcher:
         order = sorted(range(len(files)), key=lambda i: -sizes[i])
         files = [files[i] for i in order]
 
+        from concurrent.futures import ThreadPoolExecutor
+
         from ..native import fasta_codes
 
+        def parse(path: str) -> np.ndarray:
+            codes = fasta_codes(path, self.least_qual)
+            if codes is None:  # no native toolchain: python parser
+                recs = [(r.seq, r.qual) for r in read_records(path)]
+                codes = encode_concat(recs, self.least_qual)
+            return codes
+
         def gen() -> Iterator[np.ndarray]:
-            for path in files:
-                codes = fasta_codes(path, self.least_qual)
-                if codes is None:  # no native toolchain: python parser
-                    recs = [(r.seq, r.qual) for r in read_records(path)]
-                    codes = encode_concat(recs, self.least_qual)
-                yield codes
+            # bounded parallel parse (native parser releases the GIL) —
+            # the RabbitFX producer-pool role (sketch.cpp:380-410)
+            workers = min(8, os.cpu_count() or 1)
+            depth = 2 * workers
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                futs: list = []
+                it = iter(files)
+                for path in it:
+                    futs.append(ex.submit(parse, path))
+                    if len(futs) >= depth:
+                        break
+                ring = len(futs)
+                i = 0
+                for path in it:
+                    yield futs[i % ring].result()
+                    futs[i % ring] = ex.submit(parse, path)
+                    i += 1
+                for j in range(ring):
+                    yield futs[(i + j) % ring].result()
 
         hashes, n = self.sketch_codes(gen())
         assert n == len(files)
@@ -477,9 +497,17 @@ def sketch_file_list(list_path: str, shuf: "shuffle_mod.ShuffleFile",
                      least_qual: int = 0, least_num_kmer: int = 1,
                      **kw) -> SketchSet:
     """List-of-files entry point (the command_sketch engine,
-    reference subCommand.cpp:50-68)."""
-    from ..seqio import read_list
+    reference subCommand.cpp:50-68).
 
+    The input list must classify as fasta or fastq (sniffers mirror
+    sketch.cpp:68-161); quality/abundance thresholds apply only on the
+    fastq path, as in the reference (sketchFastaFile takes neither).
+    """
+    from ..seqio import classify_list, read_list
+
+    kind = classify_list(list_path)
+    if kind == "fasta":
+        least_qual, least_num_kmer = 0, 1
     files = read_list(list_path)
     params = KssdParams(half_k=shuf.k, half_subk=shuf.subk, drlevel=shuf.drlevel)
     sk = DeviceSketcher(params, shuf.shuffled_dim, least_qual=least_qual,

@@ -18,6 +18,9 @@ _dir = os.environ.get(
 os.makedirs(_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# 64-bit hash values (use64 configs) flow through device ops as real
+# uint64 arrays; kernels keep hot paths in explicit 32-bit dtypes.
+jax.config.update("jax_enable_x64", True)
 
 
 def _warm_transfer_channel():

@@ -361,6 +361,37 @@ def hash_windows_stream(params: KssdParams):
     return hash_full
 
 
+def searchsorted_i32(a, v):
+    """side='left' searchsorted of sorted int32 ``v`` into sorted int32
+    ``a``, entirely in 32-bit (jnp.searchsorted under jax_enable_x64
+    drags int64 iotas through its sort — emulated 64-bit on TPU).
+
+    Implemented as one stable 2-key lax.sort (value, is-needle) with an
+    int32 payload, then rank arithmetic + a small scatter.
+    """
+    n, m = a.shape[0], v.shape[0]
+    keys = jnp.concatenate([a.astype(jnp.int32), v.astype(jnp.int32)])
+    # ties: needles (tag 0) sort before haystack (tag 1) -> side='left'
+    tags = jnp.concatenate(
+        [jnp.ones(n, jnp.int32), jnp.zeros(m, jnp.int32)]
+    )
+    payload = jnp.concatenate(
+        [jnp.zeros(n, jnp.int32),
+         jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]]
+    )
+    sk, st, sp = jax.lax.sort((keys, tags, payload), num_keys=2,
+                              is_stable=True)
+    needle = (st == 0).astype(jnp.int32)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (n + m, 1), 0)[:, 0]
+    vrank = jnp.cumsum(needle) - needle  # needles before this slot
+    insertion = slot - vrank
+    out = jnp.zeros(m, jnp.int32).at[
+        jnp.where(needle == 1, sp, m)
+    ].set(jnp.where(needle == 1, insertion, 0), mode="drop",
+          unique_indices=True)
+    return out
+
+
 def packed_to_words_np(packed2: np.ndarray) -> np.ndarray:
     """Host: packed 2-bit rows u8[..., B] (B % 4 == 0) -> u32 word rows
     with 2 zero pad words appended (the layout hash_windows_stream

@@ -1,0 +1,32 @@
+"""Sorted-set intersection op vs the membership-matmul path."""
+
+import numpy as np
+
+from rabbitkssd_tpu.ops.distance import common_counts
+from rabbitkssd_tpu.ops.intersect import common_counts_sorted
+
+
+def test_sorted_intersect_matches_matmul(rng):
+    hashes = [
+        np.unique(rng.integers(0, 50000, size=rng.integers(0, 700))
+                  .astype(np.uint64))
+        for _ in range(17)
+    ]
+    a = common_counts_sorted(hashes, None)
+    b = common_counts(hashes, None)
+    # the matmul path skips the diagonal's singleton-only contributions
+    np.testing.assert_array_equal(
+        a - np.diag(np.diag(a)), b - np.diag(np.diag(b))
+    )
+
+
+def test_sorted_intersect_refquery_64bit(rng):
+    ref = [np.unique((rng.integers(0, 2**60, size=300, dtype=np.uint64)))
+           for _ in range(5)]
+    qry = [np.unique(rng.choice(ref[i % 5], size=100))
+           for i in range(3)]
+    got = common_counts_sorted(qry, ref)
+    for i in range(3):
+        for j in range(5):
+            want = np.intersect1d(qry[i], ref[j]).size
+            assert got[i, j] == want, (i, j)
