@@ -118,10 +118,16 @@ def make_stream_step(params: KssdParams, n_blocks: int, block: int, cap: int,
     tunnel-attached chips; unpacking and the validity scatter run on
     device.  ``halo`` is the 8-aligned :func:`aligned_halo`.
     """
+    return jax.jit(_stream_step_body(params, cap, buf_cap, compaction))
+
+
+def _stream_step_body(params: KssdParams, cap: int, buf_cap: int,
+                      compaction: str) -> Callable:
+    """The un-jitted stream-step computation (shared by the single-chip
+    jit and the shard_map data-parallel wrapper)."""
     hasher = hash_windows_stream(params)
     halo = aligned_halo(params)
 
-    @jax.jit
     def step(words, exc, table, buf_lo, buf_hi, buf_pos, buf_batch,
              count, overflow, batch_idx):
         nb, nw = words.shape
@@ -189,6 +195,38 @@ def make_stream_step(params: KssdParams, n_blocks: int, block: int, cap: int,
         return buf_lo, buf_hi, buf_pos, buf_batch, new_count, overflow
 
     return step
+
+
+def make_sharded_stream_step(params: KssdParams, mesh, n_blocks: int,
+                             block: int, cap: int, buf_cap: int,
+                             compaction: str = "auto") -> Callable:
+    """Data-parallel stream step over all mesh devices (shard_map).
+
+    Batches carry a leading shard axis: words [S, n_blocks, nw],
+    exc [S, cap_exc], carry buffers [S, buf_cap], count/overflow [S];
+    each device runs the identical accumulate step on its shard — the
+    per-consumer privatized hash sets of the reference (sketch.cpp:
+    411-435) re-expressed as per-device carry buffers, merged on host
+    at flush.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    body = _stream_step_body(params, cap, buf_cap, compaction)
+    axes = tuple(mesh.axis_names)
+
+    def per_shard(words, exc, table, b_lo, b_hi, b_pos, b_batch, count,
+                  overflow, batch_idx):
+        out = body(words[0], exc[0], table, b_lo[0], b_hi[0], b_pos[0],
+                   b_batch[0], count[0], overflow[0], batch_idx)
+        return tuple(o[None] for o in out)
+
+    sharded = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(axes), P(axes), P(), P(axes), P(axes), P(axes),
+                  P(axes), P(axes), P(axes), P()),
+        out_specs=(P(axes),) * 6,
+    )
+    return jax.jit(sharded, donate_argnums=(3, 4, 5, 6, 7, 8))
 
 
 
@@ -412,29 +450,8 @@ class DeviceSketcher:
         if pending:
             flush(pending)
 
-        n_genomes = len(feeder.starts)
-        dt = np.uint64 if p.use64 else np.uint32
-        if not hash_chunks:
-            return [np.empty(0, dt) for _ in range(n_genomes)], n_genomes
-        allh = np.concatenate(hash_chunks)
-        allp = np.concatenate(pos_chunks)
-        # position -> genome (starts are sorted; pos always within a span)
-        starts = np.asarray(feeder.starts, dtype=np.int64)
-        gidx = np.searchsorted(starts, allp, side="right") - 1
-        out: list[np.ndarray] = []
-        order = np.argsort(gidx, kind="stable")
-        gsorted = gidx[order]
-        hsorted = allh[order]
-        bounds = np.searchsorted(gsorted, np.arange(n_genomes + 1))
-        for g in range(n_genomes):
-            h = hsorted[bounds[g] : bounds[g + 1]]
-            if self.least_num_kmer > 1:
-                vals, counts = np.unique(h, return_counts=True)
-                vals = vals[counts >= self.least_num_kmer]
-            else:
-                vals = np.unique(h)
-            out.append(vals.astype(dt))
-        return out, n_genomes
+        return _group_by_genome(feeder, hash_chunks, pos_chunks, p,
+                                self.least_num_kmer)
 
     # -- file-level API -------------------------------------------------------
     def sketch_files(self, files: list[str]) -> SketchSet:
@@ -491,6 +508,185 @@ class DeviceSketcher:
         )
         sketches = [Sketch(name=f, hashes=h) for f, h in zip(files, hashes)]
         return SketchSet(info=info, sketches=sketches)
+
+
+class ShardedSketcher:
+    """Mesh-data-parallel sketcher: batches shard across all devices.
+
+    Same exactness contract as DeviceSketcher; each device accumulates
+    its shard's survivors in private carry buffers (the reference's
+    per-consumer hash sets, sketch.cpp:411-435), merged on host at
+    flush.  Overflow anywhere falls back to the single-chip exact path
+    for the affected window.
+    """
+
+    def __init__(self, params: KssdParams, shuffled_dim: np.ndarray,
+                 mesh=None, n_blocks: int = 4, block: int = 1 << 17,
+                 least_qual: int = 0, least_num_kmer: int = 1,
+                 buf_cap: int = 1 << 22):
+        from ..ops import _config
+        from ..parallel.sharded import make_mesh
+
+        _config.start_warm()
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_shards = int(np.prod(self.mesh.devices.shape))
+        self.params = params
+        self.least_qual = least_qual
+        self.least_num_kmer = least_num_kmer
+        self.n_blocks = n_blocks  # per shard
+        self.block = block
+        self.table = jnp.asarray(shuffled_dim.astype(np.int32))
+        n = n_blocks * block  # per-shard payload
+        exp = n >> (4 * params.drlevel)
+        self.cap = min(n, max(1 << 14, 4 * exp))
+        self.buf_cap = max(buf_cap, 4 * self.cap)
+        self._step = make_sharded_stream_step(
+            params, self.mesh, n_blocks, block, self.cap, self.buf_cap
+        )
+
+    def _fresh_buffers(self):
+        s = self.n_shards
+        z = jnp.zeros((s, self.buf_cap), jnp.uint32)
+        return (z, jnp.zeros_like(z),
+                jnp.zeros((s, self.buf_cap), jnp.int32),
+                jnp.zeros((s, self.buf_cap), jnp.int32),
+                jnp.zeros((s,), jnp.int32),
+                jnp.zeros((s,), jnp.bool_))
+
+    def sketch_codes(self, genome_codes: Iterator[np.ndarray]
+                     ) -> tuple[list[np.ndarray], int]:
+        from ..ops.hostxfer import read_array
+
+        p = self.params
+        halo = aligned_halo(p)
+        S = self.n_shards
+        shard_payload = self.n_blocks * self.block
+        feeder = TapeFeeder(genome_codes, S * self.n_blocks, self.block,
+                            halo)
+        window = max(1, (self.buf_cap // self.cap) - 1)
+        pending: list[_TapeBatch] = []
+        bufs = self._fresh_buffers()
+        hash_chunks: list[np.ndarray] = []
+        pos_chunks: list[np.ndarray] = []
+
+        def collect(pending_batches):
+            nonlocal bufs
+            buf_lo, buf_hi, buf_pos, buf_batch, count, overflow = bufs
+            counts = read_array(count)
+            oflow = read_array(overflow)
+            if oflow.any():
+                # exact fallback: single-chip re-run of this window
+                single = DeviceSketcher(p, np.asarray(self.table),
+                                        n_blocks=1, block=self.block,
+                                        least_qual=0, least_num_kmer=1)
+                for b in pending_batches:
+                    h, pos = _rerun_batch_single(single, b, p)
+                    hash_chunks.append(h)
+                    pos_chunks.append(pos)
+                bufs = self._fresh_buffers()
+                return
+            mx = int(counts.max()) if counts.size else 0
+            if mx > 0:
+                bucket = 1024
+                while bucket < mx:
+                    bucket <<= 1
+                bucket = min(bucket, self.buf_cap)
+                lo2 = read_array(buf_lo[:, :bucket])
+                hi2 = read_array(buf_hi[:, :bucket]) if p.use64 else None
+                po2 = read_array(buf_pos[:, :bucket])
+                bi2 = read_array(buf_batch[:, :bucket])
+                base = np.array([b.base for b in pending_batches],
+                                np.int64)
+                for s in range(S):
+                    c = int(counts[s])
+                    if c == 0:
+                        continue
+                    lo = lo2[s, :c]
+                    if p.use64:
+                        h = (hi2[s, :c].astype(np.uint64) << np.uint64(32)
+                             | lo.astype(np.uint64))
+                    else:
+                        h = lo.astype(np.uint32)
+                    gpos = (base[bi2[s, :c]]
+                            + np.int64(s) * shard_payload
+                            + po2[s, :c].astype(np.int64))
+                    hash_chunks.append(h)
+                    pos_chunks.append(gpos)
+            bufs = self._fresh_buffers()
+
+        for batch in feeder:
+            if len(pending) == window:
+                collect(pending)
+                pending = []
+            rows = batch.codes.reshape(S, self.n_blocks, -1)
+            p2, _ = pack_codes_sparse_np(rows)
+            words = packed_to_words_np(p2)
+            # per-shard exception lists over the shard's flat halo'd space
+            excs = []
+            cap_exc = 1024
+            for s in range(S):
+                e = np.nonzero(rows[s].ravel() < 0)[0].astype(np.int32)
+                while cap_exc < len(e):
+                    cap_exc <<= 1
+                excs.append(e)
+            exc_arr = np.full((S, cap_exc),
+                              self.n_blocks * rows.shape[-1], np.int32)
+            for s, e in enumerate(excs):
+                exc_arr[s, : len(e)] = e
+            bufs = self._step(words, exc_arr, self.table, *bufs,
+                              jnp.int32(len(pending)))
+            pending.append(batch)
+        if pending:
+            collect(pending)
+
+        return _group_by_genome(feeder, hash_chunks, pos_chunks, p,
+                                self.least_num_kmer)
+
+
+def _rerun_batch_single(single: "DeviceSketcher", batch: _TapeBatch,
+                        p: KssdParams) -> tuple[np.ndarray, np.ndarray]:
+    """Exact re-hash of one batch via the (overflow-safe) dense path."""
+    from ..ops.kmer import combine_hash_words, make_hash_kernel
+
+    kern = make_hash_kernel(p)
+    halo_a = aligned_halo(p)
+    codes = batch.codes
+    valid = codes >= 0
+    h_lo, h_hi, keep = kern(codes, valid, single.table)
+    keep = np.asarray(keep)[:, halo_a:]
+    h = combine_hash_words(
+        np.asarray(h_lo)[:, halo_a:], np.asarray(h_hi)[:, halo_a:],
+        keep, p.use64,
+    )
+    flat_pos = np.nonzero(keep.ravel())[0].astype(np.int64) + batch.base
+    return h, flat_pos
+
+
+def _group_by_genome(feeder: TapeFeeder, hash_chunks, pos_chunks,
+                     p: KssdParams, least_num_kmer: int
+                     ) -> tuple[list[np.ndarray], int]:
+    n_genomes = len(feeder.starts)
+    dt = np.uint64 if p.use64 else np.uint32
+    if not hash_chunks:
+        return [np.empty(0, dt) for _ in range(n_genomes)], n_genomes
+    allh = np.concatenate(hash_chunks)
+    allp = np.concatenate(pos_chunks)
+    starts = np.asarray(feeder.starts, dtype=np.int64)
+    gidx = np.searchsorted(starts, allp, side="right") - 1
+    out: list[np.ndarray] = []
+    order = np.argsort(gidx, kind="stable")
+    gsorted = gidx[order]
+    hsorted = allh[order]
+    bounds = np.searchsorted(gsorted, np.arange(n_genomes + 1))
+    for g in range(n_genomes):
+        h = hsorted[bounds[g]: bounds[g + 1]]
+        if least_num_kmer > 1:
+            vals, counts = np.unique(h, return_counts=True)
+            vals = vals[counts >= least_num_kmer]
+        else:
+            vals = np.unique(h)
+        out.append(vals.astype(dt))
+    return out, n_genomes
 
 
 def sketch_file_list(list_path: str, shuf: "shuffle_mod.ShuffleFile",
