@@ -261,23 +261,49 @@ class TapeFeeder:
         self._prev_halo = np.full(halo, -1, dtype=np.int8)
         self._tape_len = 0
         self._exhausted = False
+        self._cur = None  # active chunked-genome iterator
+        self._cur_len = 0
 
     def _pull(self, want: int) -> np.ndarray:
-        """Pull at least `want` payload codes (or until exhausted)."""
+        """Pull at least `want` payload codes (or until exhausted).
+
+        A source item may be a whole-genome code array OR an iterator of
+        code chunks for one genome (bounded-memory streaming of multi-GB
+        inputs — the reference's RabbitFX big-file path,
+        sketch.cpp:396-410).
+        """
         chunks = [self._tail]
         have = len(self._tail)
         sep = np.array([-1], dtype=np.int8)
         while have < want and not self._exhausted:
+            if self._cur is None:
+                try:
+                    item = next(self._src)
+                except StopIteration:
+                    self._exhausted = True
+                    break
+                if isinstance(item, np.ndarray):
+                    self.starts.append(self._tape_len + have)
+                    self.ends.append(self._tape_len + have + len(item))
+                    chunks.append(item)
+                    chunks.append(sep)
+                    have += len(item) + 1
+                    continue
+                self._cur = iter(item)
+                self.starts.append(self._tape_len + have)
+                self._cur_len = 0
+                continue
             try:
-                codes = next(self._src)
+                piece = next(self._cur)
             except StopIteration:
-                self._exhausted = True
-                break
-            self.starts.append(self._tape_len + have)
-            self.ends.append(self._tape_len + have + len(codes))
-            chunks.append(codes)
-            chunks.append(sep)
-            have += len(codes) + 1
+                self.ends.append(self.starts[-1] + self._cur_len)
+                chunks.append(sep)
+                have += 1
+                self._cur = None
+                continue
+            chunks.append(piece)
+            have += len(piece)
+            self._cur_len += len(piece)
         return np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
 
     def __iter__(self) -> Iterator[_TapeBatch]:
@@ -469,9 +495,19 @@ class DeviceSketcher:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        from ..native import fasta_codes
+        from ..native import fasta_codes, fasta_codes_chunks, load_native
 
-        def parse(path: str) -> np.ndarray:
+        # files beyond this stream through the chunked native reader
+        # instead of materializing their whole code tape (config-4
+        # multi-GB genomes; reference big-file path sketch.cpp:380-410)
+        stream_threshold = int(
+            os.environ.get("KSSD_STREAM_THRESHOLD", 1 << 30)
+        )
+
+        def parse(path: str):
+            if (load_native() is not None
+                    and os.stat(path).st_size > stream_threshold):
+                return fasta_codes_chunks(path, self.least_qual)
             codes = fasta_codes(path, self.least_qual)
             if codes is None:  # no native toolchain: python parser
                 recs = [(r.seq, r.qual) for r in read_records(path)]

@@ -79,6 +79,56 @@ def load_native():
         return _LIB
 
 
+def _bind_stream(lib):
+    import ctypes as ct
+
+    if getattr(lib, "_stream_bound", False):
+        return
+    lib.kssd_fasta_open.restype = ct.c_void_p
+    lib.kssd_fasta_open.argtypes = [ct.c_char_p, ct.c_int]
+    lib.kssd_fasta_read_codes.restype = ct.c_int64
+    lib.kssd_fasta_read_codes.argtypes = [
+        ct.c_void_p, ct.POINTER(ct.c_int8), ct.c_int64,
+    ]
+    lib.kssd_fasta_close.argtypes = [ct.c_void_p]
+    lib._stream_bound = True
+
+
+def fasta_codes_chunks(path: str, least_qual: int = 0,
+                       chunk: int = 1 << 24):
+    """Generator of int8 code-tape chunks for one file (streaming).
+
+    Bounded memory for multi-GB inputs; concatenation of the chunks
+    equals ``fasta_codes(path, least_qual)``.  Yields nothing if the
+    native toolchain is unavailable (caller falls back).
+    """
+    import ctypes as ct
+
+    import numpy as np
+
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("native toolchain unavailable")
+    _bind_stream(lib)
+    h = lib.kssd_fasta_open(path.encode(), int(least_qual))
+    if not h:
+        raise IOError(f"cannot open {path}")
+    try:
+        while True:
+            buf = np.empty(chunk, np.int8)
+            n = lib.kssd_fasta_read_codes(
+                h, buf.ctypes.data_as(ct.POINTER(ct.c_int8)),
+                ct.c_int64(chunk),
+            )
+            if n < 0:
+                raise IOError(f"native stream reader failed on {path}")
+            if n == 0:
+                return
+            yield buf[:n]
+    finally:
+        lib.kssd_fasta_close(h)
+
+
 def fasta_codes(path: str, least_qual: int = 0):
     """Native FASTA/FASTQ(.gz) -> int8 code tape; None if unavailable.
 

@@ -52,3 +52,52 @@ def test_native_edge_cases(tmp_path):
     with open(p, "w") as f:
         f.write(">a\nACGT\nNNttGG\n\n>b empty\n>c\nA\n>d\r\nACgtN\r\n")
     np.testing.assert_array_equal(fasta_codes(p), _python_codes(p))
+
+
+def test_stream_reader_matches_oneshot():
+    from rabbitkssd_tpu.native import fasta_codes_chunks
+
+    for name in ("g0.fna", "r0.fq"):
+        path = os.path.join(GOLDEN, "genomes", name)
+        chunks = list(fasta_codes_chunks(path, chunk=777))
+        got = np.concatenate(chunks) if chunks else np.empty(0, np.int8)
+        np.testing.assert_array_equal(got, fasta_codes(path), err_msg=name)
+
+
+def test_stream_reader_fastq_quality():
+    from rabbitkssd_tpu.native import fasta_codes_chunks
+
+    path = os.path.join(GOLDEN, "genomes", "r1.fq")
+    got = np.concatenate(list(fasta_codes_chunks(path, least_qual=40,
+                                                 chunk=123)))
+    np.testing.assert_array_equal(got, fasta_codes(path, least_qual=40))
+
+
+def test_streaming_sketch_end_to_end(monkeypatch):
+    """Tiny stream threshold forces the chunked path; sketches must be
+    identical to the materializing path."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["KSSD_STREAM_THRESHOLD"] = "1000"
+    code = f"""
+import sys, os
+sys.path.insert(0, '/root/repo')
+os.chdir({GOLDEN!r})
+import numpy as np
+from rabbitkssd_tpu.engine.sketcher import sketch_file_list
+from rabbitkssd_tpu.shuffle import read_shuffle_file
+from rabbitkssd_tpu.formats import read_sketches
+ours = sketch_file_list('fa.list', read_shuffle_file('k8s4l1.shuf'))
+ref = {{s.name: np.sort(s.hashes) for s in read_sketches('fa_k8s4l1.sketch').sketches}}
+for s in ours.sketches:
+    np.testing.assert_array_equal(s.hashes, ref[s.name])
+print('STREAMING SKETCH OK')
+"""
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "STREAMING SKETCH OK" in r.stdout
