@@ -31,6 +31,7 @@ from __future__ import annotations
 import dataclasses
 import math
 import os
+import sys
 
 import numpy as np
 
@@ -101,11 +102,17 @@ _EPS = 1e-9
 def alldist_rows(sk: SketchSet, common: np.ndarray, kmer_size: int,
                  max_dist: float, containment: bool):
     """Yield exact output rows of index_tridist (upper triangle, i-major)."""
+    from ..utils.timers import progress_bar_size
+
     names = [s.name for s in sk.sketches]
     sizes = np.array([s.size for s in sk.sketches], np.int64)
     n = len(names)
+    step = progress_bar_size(n)
+    print(f"=====total: {n}", file=sys.stderr)
     f = _containment_aaf if containment else _jaccard_mash
     for i in range(n):
+        if i % step == 0:
+            print(f"=====finish: {i}", file=sys.stderr)
         if i + 1 >= n:
             continue
         crow = common[i, i + 1 :]
@@ -142,9 +149,15 @@ def dist_rows(ref: SketchSet, query: SketchSet, common: np.ndarray,
     rsizes = np.array([s.size for s in ref.sketches], np.int64)
     qnames = [s.name for s in query.sketches]
     qsizes = np.array([s.size for s in query.sketches], np.int64)
+    from ..utils.timers import progress_bar_size
+
     is_neighbor = max_neighbor > 0
+    step = progress_bar_size(len(qnames))
+    print(f"=====total: {len(qnames)}", file=sys.stderr)
     f = _containment_aaf if containment else _jaccard_mash
     for i in range(len(qnames)):
+        if i % step == 0:
+            print(f"=====finish: {i}", file=sys.stderr)
         size1 = int(qsizes[i])
         crow = common[i]
         bulk = _bulk_dist(crow, rsizes, size1, kmer_size, containment)

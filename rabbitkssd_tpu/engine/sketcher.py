@@ -535,7 +535,20 @@ class DeviceSketcher:
                 for j in range(ring):
                     yield futs[(i + j) % ring].result()
 
-        hashes, n = self.sketch_codes(gen())
+        import sys
+
+        from ..utils.timers import progress_bar_size
+
+        step_pb = progress_bar_size(len(files))
+
+        def gen_progress():
+            for i, codes in enumerate(gen()):
+                if i % step_pb == 0:
+                    print(f"finshed sketching: {i} genomes",
+                          file=sys.stderr)
+                yield codes
+
+        hashes, n = self.sketch_codes(gen_progress())
         assert n == len(files)
         p = self.params
         info = SketchInfo(
