@@ -95,3 +95,24 @@ def test_common_counts_chunked(rng):
     a = common_counts(hashes, None)
     b = common_counts(hashes, None, chunk=1024)
     np.testing.assert_array_equal(a, b)
+
+
+def test_write_rows_4gb_split(tmp_path, monkeypatch):
+    """Outputs beyond the split threshold land in <out>.dir + <out>.index
+    (reference dist.cpp:276-341)."""
+    import rabbitkssd_tpu.engine.dist_engine as de
+
+    monkeypatch.setattr(de, "MAX_SINGLE_FILE", 64)
+    out = str(tmp_path / "big.dist")
+    rows = [f"g{i}\tg{j}\t1|2|3\t0.100000\t0.200000\n"
+            for i in range(6) for j in range(i)]
+    de._write_rows(iter(rows), [f"g{i}" for i in range(6)], out)
+    assert not os.path.exists(out)
+    part = os.path.join(out + ".dir", "big.dist.0")
+    assert os.path.exists(part)
+    with open(part) as f:
+        assert f.readlines() == rows
+    with open(out + ".index") as f:
+        idx = f.readlines()
+    assert idx[0] == "genomeName\tdistFileName\n"
+    assert len(idx) == 7

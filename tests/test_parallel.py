@@ -75,3 +75,14 @@ print('SHARDED SKETCH OK')
 """
     )
     assert "SHARDED SKETCH OK" in out
+
+
+def test_global_mesh_single_process():
+    out = run_in_cpu_mesh(
+        "import sys; sys.path.insert(0, '/root/repo');"
+        "from rabbitkssd_tpu.parallel.multihost import init_multihost, global_mesh;"
+        "init_multihost();"
+        "m = global_mesh();"
+        "print('MESH', m.devices.shape, m.axis_names)"
+    )
+    assert "MESH (1, 8) ('dp', 'vp')" in out
