@@ -99,6 +99,34 @@ def _bulk_dist(common_row: np.ndarray, size0, size1, kmer_size: int,
 _EPS = 1e-9
 
 
+def _alldist_block_rows(names, sizes, common_blk: np.ndarray, i0: int,
+                        kmer_size: int, max_dist: float,
+                        containment: bool, step: int):
+    """Upper-triangle rows for global genomes [i0, i0+R) given their
+    count rows vs ALL genomes (common_blk [R, n])."""
+    n = len(names)
+    f = _containment_aaf if containment else _jaccard_mash
+    for bi in range(common_blk.shape[0]):
+        i = i0 + bi
+        if i % step == 0:
+            print(f"=====finish: {i}", file=sys.stderr)
+        if i + 1 >= n:
+            continue
+        crow = common_blk[bi, i + 1 :]
+        bulk = _bulk_dist(crow, sizes[i], sizes[i + 1 :], kmer_size,
+                          containment)
+        cand = np.nonzero(bulk < max_dist + _EPS)[0]
+        for dj in cand:
+            j = i + 1 + int(dj)
+            jorc, d = f(int(crow[int(dj)]), int(sizes[i]), int(sizes[j]),
+                        kmer_size)
+            if d < max_dist:
+                yield (
+                    f"{names[j]}\t{names[i]}\t{int(crow[int(dj)])}|"
+                    f"{int(sizes[i])}|{int(sizes[j])}\t{_d6(jorc)}\t{_d6(d)}\n"
+                )
+
+
 def alldist_rows(sk: SketchSet, common: np.ndarray, kmer_size: int,
                  max_dist: float, containment: bool):
     """Yield exact output rows of index_tridist (upper triangle, i-major)."""
@@ -109,24 +137,8 @@ def alldist_rows(sk: SketchSet, common: np.ndarray, kmer_size: int,
     n = len(names)
     step = progress_bar_size(n)
     print(f"=====total: {n}", file=sys.stderr)
-    f = _containment_aaf if containment else _jaccard_mash
-    for i in range(n):
-        if i % step == 0:
-            print(f"=====finish: {i}", file=sys.stderr)
-        if i + 1 >= n:
-            continue
-        crow = common[i, i + 1 :]
-        bulk = _bulk_dist(crow, sizes[i], sizes[i + 1 :], kmer_size, containment)
-        cand = np.nonzero(bulk < max_dist + _EPS)[0]
-        for dj in cand:
-            j = i + 1 + int(dj)
-            jorc, d = f(int(common[i, j]), int(sizes[i]), int(sizes[j]),
-                        kmer_size)
-            if d < max_dist:
-                yield (
-                    f"{names[j]}\t{names[i]}\t{int(common[i, j])}|"
-                    f"{int(sizes[i])}|{int(sizes[j])}\t{_d6(jorc)}\t{_d6(d)}\n"
-                )
+    yield from _alldist_block_rows(names, sizes, common, 0, kmer_size,
+                                   max_dist, containment, step)
 
 
 @dataclasses.dataclass
@@ -237,12 +249,39 @@ def _counts(hashes0, hashes1):
 
 def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
                 containment: bool) -> None:
-    """command_alldist engine (reference subCommand.cpp:149-200)."""
+    """command_alldist engine (reference subCommand.cpp:149-200).
+
+    Beyond KSSD_DIST_ROW_BLOCK genomes (default 16384) the computation
+    row-blocks: each block's counts vs all genomes are computed and its
+    rows emitted before the next block — neither the full NxN counts nor
+    an NxV membership ever materializes (the 100k-genome config).
+    """
     hashes = [s.hashes for s in sk.sketches]
-    common = _counts(hashes, None)
     kmer_size = 2 * sk.info.half_k
-    rows = alldist_rows(sk, common, kmer_size, max_dist, containment)
-    _write_rows(rows, [s.name for s in sk.sketches], output_file)
+    names = [s.name for s in sk.sketches]
+    n = len(hashes)
+    row_block = int(os.environ.get("KSSD_DIST_ROW_BLOCK", "16384"))
+    if n <= row_block:
+        common = _counts(hashes, None)
+        rows = alldist_rows(sk, common, kmer_size, max_dist, containment)
+        _write_rows(rows, names, output_file)
+        return
+
+    from ..utils.timers import progress_bar_size
+
+    sizes = np.array([s.size for s in sk.sketches], np.int64)
+    step = progress_bar_size(n)
+    print(f"=====total: {n}", file=sys.stderr)
+
+    def row_gen():
+        for i0 in range(0, n, row_block):
+            blk = hashes[i0 : i0 + row_block]
+            common_blk = _counts(blk, hashes)
+            yield from _alldist_block_rows(names, sizes, common_blk, i0,
+                                           kmer_size, max_dist,
+                                           containment, step)
+
+    _write_rows(row_gen(), names, output_file)
 
 
 def run_dist(ref: SketchSet, query: SketchSet, output_file: str,

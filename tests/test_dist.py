@@ -116,3 +116,15 @@ def test_write_rows_4gb_split(tmp_path, monkeypatch):
         idx = f.readlines()
     assert idx[0] == "genomeName\tdistFileName\n"
     assert len(idx) == 7
+
+
+def test_alldist_row_blocked(tmp_path, monkeypatch):
+    """Row-blocked path must emit identical rows to the monolithic one."""
+    monkeypatch.setenv("KSSD_DIST_ROW_BLOCK", "3")
+    sk = read_sketches(os.path.join(GOLDEN, "fa_k8s4l1.sketch"))
+    out = str(tmp_path / "blk.dist")
+    run_alldist(sk, out, max_dist=1.0, containment=False)
+    got_h, got = _sorted_rows(out)
+    want_h, want = _sorted_rows(os.path.join(GOLDEN, "fa_k8s4l1.alldist"))
+    assert got_h == want_h
+    assert got == want
