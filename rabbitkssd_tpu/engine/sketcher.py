@@ -27,7 +27,6 @@ counts.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
 from typing import Callable, Iterator
 

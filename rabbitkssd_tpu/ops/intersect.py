@@ -15,7 +15,6 @@ vocabulary is undesirable (e.g. few pairs of very large sketches).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

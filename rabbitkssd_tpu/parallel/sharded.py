@@ -22,7 +22,6 @@ so XLA inserts the collectives; no hand-scheduled communication.
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax
