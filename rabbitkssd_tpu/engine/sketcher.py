@@ -691,6 +691,12 @@ class ShardedSketcher:
                                 self.least_num_kmer)
 
 
+# the file-level API is identical across sketchers (it only needs
+# .params, .least_qual and .sketch_codes)
+ShardedSketcher.sketch_files = DeviceSketcher.sketch_files
+MeshSketcher = ShardedSketcher
+
+
 def _rerun_batch_single(single: "DeviceSketcher", batch: _TapeBatch,
                         p: KssdParams) -> tuple[np.ndarray, np.ndarray]:
     """Exact re-hash of one batch via the (overflow-safe) dense path."""
@@ -754,6 +760,12 @@ def sketch_file_list(list_path: str, shuf: "shuffle_mod.ShuffleFile",
         least_qual, least_num_kmer = 0, 1
     files = read_list(list_path)
     params = KssdParams(half_k=shuf.k, half_subk=shuf.subk, drlevel=shuf.drlevel)
-    sk = DeviceSketcher(params, shuf.shuffled_dim, least_qual=least_qual,
-                        least_num_kmer=least_num_kmer, **kw)
+    if len(jax.devices()) > 1 and "mesh" not in kw:
+        sk = MeshSketcher(params, shuf.shuffled_dim, least_qual=least_qual,
+                          least_num_kmer=least_num_kmer, **kw)
+    else:
+        kw.pop("mesh", None)
+        sk = DeviceSketcher(params, shuf.shuffled_dim,
+                            least_qual=least_qual,
+                            least_num_kmer=least_num_kmer, **kw)
     return sk.sketch_files(files)

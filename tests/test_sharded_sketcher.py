@@ -47,3 +47,31 @@ print('SHARDED SPARSE OK')
     )
     assert "SHARDED SKETCHER OK" in out
     assert "SHARDED SPARSE OK" in out
+
+
+def test_sketch_file_list_auto_mesh(tmp_path):
+    """sketch_file_list transparently uses the mesh sketcher on
+    multi-device backends; sketches match the golden artifacts."""
+    import os
+
+    golden = os.path.join(os.path.dirname(__file__), "golden")
+    out = run_in_cpu_mesh(
+        f"""
+import sys, os
+sys.path.insert(0, '/root/repo')
+os.chdir({golden!r})
+import numpy as np, jax
+assert len(jax.devices()) == 8
+from rabbitkssd_tpu.engine.sketcher import sketch_file_list
+from rabbitkssd_tpu.shuffle import read_shuffle_file
+from rabbitkssd_tpu.formats import read_sketches
+ours = sketch_file_list('fa.list', read_shuffle_file('k8s4l1.shuf'))
+ref = {{s.name: np.sort(s.hashes) for s in read_sketches('fa_k8s4l1.sketch').sketches}}
+assert len(ours.sketches) == len(ref)
+for s in ours.sketches:
+    np.testing.assert_array_equal(s.hashes, ref[s.name])
+print('AUTO MESH SKETCH OK')
+""",
+        timeout=900,
+    )
+    assert "AUTO MESH SKETCH OK" in out
