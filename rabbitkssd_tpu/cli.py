@@ -172,7 +172,8 @@ def cmd_sketch(args) -> int:
     shuf = read_shuffle_file(args.shuf_file)
     with phase("computing sketches and save sketches into file"):
         sk = sketch_file_list(args.input, shuf, least_qual=args.leastQuality,
-                              least_num_kmer=args.leastNumKmer)
+                              least_num_kmer=args.leastNumKmer,
+                              threads=max(0, args.threads))
         out = args.output if args.output.endswith(".sketch") else args.output + ".sketch"
         save_sketches(sk, out)
     _eprint(f"save the sketches into: {out}")

@@ -339,10 +339,11 @@ class DeviceSketcher:
     def __init__(self, params: KssdParams, shuffled_dim: np.ndarray,
                  n_blocks: int = 16, block: int = 1 << 17,
                  least_qual: int = 0, least_num_kmer: int = 1,
-                 buf_cap: int = 1 << 23):
+                 buf_cap: int = 1 << 23, threads: int = 0):
         self.params = params
         self.least_qual = least_qual
         self.least_num_kmer = least_num_kmer
+        self.threads = threads
         self.n_blocks = n_blocks
         self.block = block
         self.table = jnp.asarray(shuffled_dim.astype(np.int32))
@@ -516,7 +517,7 @@ class DeviceSketcher:
         def gen() -> Iterator[np.ndarray]:
             # bounded parallel parse (native parser releases the GIL) —
             # the RabbitFX producer-pool role (sketch.cpp:380-410)
-            workers = min(8, os.cpu_count() or 1)
+            workers = self.threads or min(8, os.cpu_count() or 1)
             depth = 2 * workers
             with ThreadPoolExecutor(max_workers=workers) as ex:
                 futs: list = []
@@ -571,7 +572,7 @@ class ShardedSketcher:
     def __init__(self, params: KssdParams, shuffled_dim: np.ndarray,
                  mesh=None, n_blocks: int = 4, block: int = 1 << 17,
                  least_qual: int = 0, least_num_kmer: int = 1,
-                 buf_cap: int = 1 << 22):
+                 buf_cap: int = 1 << 22, threads: int = 0):
         from ..ops import _config
         from ..parallel.sharded import make_mesh
 
@@ -581,6 +582,7 @@ class ShardedSketcher:
         self.params = params
         self.least_qual = least_qual
         self.least_num_kmer = least_num_kmer
+        self.threads = threads
         self.n_blocks = n_blocks  # per shard
         self.block = block
         self.table = jnp.asarray(shuffled_dim.astype(np.int32))
@@ -745,7 +747,7 @@ def _group_by_genome(feeder: TapeFeeder, hash_chunks, pos_chunks,
 
 def sketch_file_list(list_path: str, shuf: "shuffle_mod.ShuffleFile",
                      least_qual: int = 0, least_num_kmer: int = 1,
-                     **kw) -> SketchSet:
+                     threads: int = 0, **kw) -> SketchSet:
     """List-of-files entry point (the command_sketch engine,
     reference subCommand.cpp:50-68).
 
@@ -762,10 +764,12 @@ def sketch_file_list(list_path: str, shuf: "shuffle_mod.ShuffleFile",
     params = KssdParams(half_k=shuf.k, half_subk=shuf.subk, drlevel=shuf.drlevel)
     if len(jax.devices()) > 1 and "mesh" not in kw:
         sk = MeshSketcher(params, shuf.shuffled_dim, least_qual=least_qual,
-                          least_num_kmer=least_num_kmer, **kw)
+                          least_num_kmer=least_num_kmer, threads=threads,
+                          **kw)
     else:
         kw.pop("mesh", None)
         sk = DeviceSketcher(params, shuf.shuffled_dim,
                             least_qual=least_qual,
-                            least_num_kmer=least_num_kmer, **kw)
+                            least_num_kmer=least_num_kmer,
+                            threads=threads, **kw)
     return sk.sketch_files(files)
