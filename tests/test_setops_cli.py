@@ -153,3 +153,12 @@ def test_cli_dist_end_to_end(tmp_path, monkeypatch):
     with open("fa_k8s4l1.distN2") as f:
         want_rows = f.readlines()
     assert sorted(got_rows) == sorted(want_rows)
+
+
+def test_union64_byte_equal(tmp_path, monkeypatch):
+    """64-bit hash path union is also byte-identical to the reference."""
+    monkeypatch.chdir(GOLDEN)
+    out = str(tmp_path / "u64.sketch")
+    assert cli_main(["union", "-i", "fa_k10s4l1.sketch", "-o", out]) == 0
+    with open(out, "rb") as a, open("fa_k10s4l1.union.sketch", "rb") as b:
+        assert a.read() == b.read()
