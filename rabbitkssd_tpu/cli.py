@@ -105,7 +105,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _load_or_sketch(list_or_sketch: str, shuf_file: str, is_query: bool,
                     least_qual: int, least_num_kmer: int,
-                    build_index_if_missing: bool):
+                    build_index_if_missing: bool, threads: int = 0):
     """Sketch-or-load with the reference's artifact side effects
     (subCommand.cpp:161-193, 221-296)."""
     from .formats import is_sketch_file, read_sketches, write_index
@@ -126,7 +126,8 @@ def _load_or_sketch(list_or_sketch: str, shuf_file: str, is_query: bool,
     shuf = read_shuffle_file(shuf_file)
     with phase("computing sketches and save sketches into file"):
         sk = sketch_file_list(list_or_sketch, shuf, least_qual=least_qual,
-                              least_num_kmer=least_num_kmer)
+                              least_num_kmer=least_num_kmer,
+                              threads=max(0, threads))
         sketch_out = list_or_sketch + ".sketch"
         save_sketches(sk, sketch_out)
     if build_index_if_missing:
@@ -192,7 +193,8 @@ def cmd_alldist(args) -> int:
         return 1
     sk, _ = _load_or_sketch(args.input, args.shuf_file, False,
                             args.leastQuality, args.leastNumKmer,
-                            build_index_if_missing=True)
+                            build_index_if_missing=True,
+                            threads=args.threads)
     with phase("index_tridist distance computing"):
         run_alldist(sk, args.output, max_dist=args.maxDist,
                     containment=bool(args.metric))
@@ -208,10 +210,12 @@ def cmd_dist(args) -> int:
         return 1
     ref, _ = _load_or_sketch(args.reference, args.shuf_file, False,
                              args.leastQuality, args.leastNumKmer,
-                             build_index_if_missing=True)
+                             build_index_if_missing=True,
+                             threads=args.threads)
     query, _ = _load_or_sketch(args.query, args.shuf_file, True,
                                args.leastQuality, args.leastNumKmer,
-                               build_index_if_missing=False)
+                               build_index_if_missing=False,
+                               threads=args.threads)
     if ref.info.id != query.info.id:
         _eprint(
             "ERROR: dist, the sketch infos between reference and query "

@@ -41,7 +41,6 @@ from .. import shuffle as shuffle_mod
 from ..ops.hostxfer import read_prefix, read_scalars
 from ..ops.kmer import (
     encode_concat,
-    hash_windows,
     hash_windows_stream,
     pack_codes_sparse_np,
     packed_to_words_np,
@@ -60,40 +59,6 @@ def aligned_halo(params: KssdParams) -> int:
 # --------------------------------------------------------------------------
 # device program: hash + compact
 # --------------------------------------------------------------------------
-
-def make_sketch_step(params: KssdParams, n_blocks: int, block: int, cap: int
-                     ) -> Callable:
-    """Compiled batch step (standalone form, used by __graft_entry__).
-
-    (codes int8[n_blocks, block + K - 1], table int32[D]) ->
-      (h_lo u32[cap], h_hi u32[cap], pos i32[cap], total i32)
-
-    ``pos`` is the flat window index within the batch payload (block-major),
-    i.e. the tape offset relative to the batch start.  Entries beyond
-    ``total`` are undefined; ``total`` may exceed ``cap`` (overflow signal).
-    """
-    hasher = hash_windows(params)
-    halo = params.kmer_size - 1
-
-    @jax.jit
-    def step(codes, table):
-        valid = codes >= 0
-        h_lo, h_hi, keep = hasher(codes, valid, table)
-        # drop halo prefix: window ending at halo+j covers payload pos j
-        h_lo = h_lo[:, halo:].ravel()
-        h_hi = h_hi[:, halo:].ravel()
-        keep = keep[:, halo:].ravel()
-        csum = jnp.cumsum(keep.astype(jnp.int32))
-        total = csum[-1] if csum.size else jnp.int32(0)
-        targets = jnp.arange(1, cap + 1, dtype=jnp.int32)
-        pos = jnp.searchsorted(csum, targets, side="left", method="sort")
-        pos_c = jnp.minimum(pos, csum.size - 1).astype(jnp.int32)
-        out_lo = jnp.take(h_lo, pos_c, axis=0)
-        out_hi = jnp.take(h_hi, pos_c, axis=0)
-        return out_lo, out_hi, pos_c, total
-
-    return step
-
 
 def make_stream_step(params: KssdParams, n_blocks: int, block: int, cap: int,
                      buf_cap: int, compaction: str = "auto") -> Callable:
@@ -117,7 +82,8 @@ def make_stream_step(params: KssdParams, n_blocks: int, block: int, cap: int,
     tunnel-attached chips; unpacking and the validity scatter run on
     device.  ``halo`` is the 8-aligned :func:`aligned_halo`.
     """
-    return jax.jit(_stream_step_body(params, cap, buf_cap, compaction))
+    return jax.jit(_stream_step_body(params, cap, buf_cap, compaction),
+                   donate_argnums=(3, 4, 5, 6, 7, 8))
 
 
 def _stream_step_body(params: KssdParams, cap: int, buf_cap: int,
@@ -380,8 +346,10 @@ class DeviceSketcher:
         pos_chunks: list[np.ndarray] = []
         hash_chunks: list[np.ndarray] = []
 
-        # flush window: how many batches fit in the carry buffer worst-case
-        window = max(1, (self.buf_cap // self.cap) - 1)
+        # flush window: batches per carry-buffer drain, additionally
+        # bounded because each pending batch pins its raw codes on host
+        # (kept only for the rare overflow re-run)
+        window = max(1, min((self.buf_cap // self.cap) - 1, 64))
         pending: list[_TapeBatch] = []
         bufs = self._fresh_buffers()
 
@@ -613,7 +581,7 @@ class ShardedSketcher:
         shard_payload = self.n_blocks * self.block
         feeder = TapeFeeder(genome_codes, S * self.n_blocks, self.block,
                             halo)
-        window = max(1, (self.buf_cap // self.cap) - 1)
+        window = max(1, min((self.buf_cap // self.cap) - 1, 64))
         pending: list[_TapeBatch] = []
         bufs = self._fresh_buffers()
         hash_chunks: list[np.ndarray] = []

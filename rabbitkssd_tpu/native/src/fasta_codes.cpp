@@ -85,6 +85,12 @@ int kssd_fasta_codes(const char *path, int least_qual, int8_t **out_codes,
             if (ch == '\r') continue;
             if (at_line_start) {
                 at_line_start = false;
+                if (in_qual && qual_len >= seq_len) {
+                    // quality already complete (e.g. empty record):
+                    // close it and reprocess this char as a fresh line
+                    in_qual = false;
+                    in_record = false;
+                }
                 if (in_qual) {
                     line_kind = 0;  // quality data line
                 } else if (ch == '>' || ch == '@') {

@@ -120,6 +120,13 @@ int64_t kssd_fasta_read_codes(void *h, int8_t *out, int64_t cap) {
         if (ch == '\r') continue;
         if (r->at_line_start) {
             r->at_line_start = false;
+            if (r->in_qual && r->qual_len >= r->seq_len) {
+                // quality already complete (e.g. empty record): close it
+                r->in_qual = false;
+                r->in_record = false;
+                for (int8_t c : r->staged) emit(c);
+                r->staged.clear();
+            }
             if (r->in_qual) {
                 r->line_kind = 0;
             } else if (ch == '>' || ch == '@') {
@@ -131,8 +138,10 @@ int64_t kssd_fasta_read_codes(void *h, int8_t *out, int64_t cap) {
                 r->seq_len = 0;
                 r->staged.clear();
                 continue;
-            } else if (ch == '+' && r->in_record && !r->in_qual
-                       && r->is_fastq_record) {
+            } else if (ch == '+' && r->in_record && !r->in_qual) {
+                // kseq semantics: '+' starts quality for any record
+                // type; for streamed '>' records the bases are already
+                // emitted so quality can only be consumed, not applied
                 r->line_kind = 2;
                 r->in_qual = true;
                 r->qual_len = 0;
@@ -144,7 +153,7 @@ int64_t kssd_fasta_read_codes(void *h, int8_t *out, int64_t cap) {
         if (r->line_kind == 1 || r->line_kind == 2) continue;
         if (!r->in_record) continue;
         if (r->in_qual) {
-            if (r->qual_len < r->seq_len) {
+            if (r->qual_len < (int64_t)r->staged.size()) {
                 if (ch < (unsigned char)r->least_qual)
                     r->staged[r->qual_len] = -1;
             }
@@ -163,10 +172,10 @@ int64_t kssd_fasta_read_codes(void *h, int8_t *out, int64_t cap) {
             ++r->seq_len;
         }
     }
-    // EOF with a fastq record missing its '+' section: flush (a record
-    // cut off MID-quality is dropped, matching the python parser)
+    // EOF with staged bases (missing or partial quality): flush —
+    // kseq keeps such records (partial quality applied as far as read)
     if (n < cap && r->eof && r->buf_pos >= r->buf_len
-        && !r->in_qual && !r->staged.empty()) {
+        && !r->staged.empty()) {
         for (int8_t c : r->staged) {
             if (n < cap) out[n++] = c;
             else r->carry.push_back(c);

@@ -125,6 +125,8 @@ def common_counts(hashes0: list[np.ndarray], hashes1: list[np.ndarray] | None,
     n0, n1 = len(hashes0), len(hashes1)
     out = np.zeros((n0, n1), np.int32)
     if len(vocab) == 0:
+        if symmetric:
+            np.fill_diagonal(out, [h.size for h in hashes0])
         return out
 
     g0, c0 = _memberships(hashes0, vocab)
@@ -160,4 +162,8 @@ def common_counts(hashes0: list[np.ndarray], hashes1: list[np.ndarray] | None,
     from .hostxfer import read_array
 
     out[:] = read_array(acc)[:n0, :n1]
+    if symmetric:
+        # the >=2-genome vocab filter drops singleton self-counts; the
+        # diagonal is by definition the sketch size
+        np.fill_diagonal(out, [h.size for h in hashes0])
     return out

@@ -29,8 +29,8 @@ _SENTINEL64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 def pad_sketch_matrix(hashes: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
     """Sorted per-genome hash arrays -> (uint64 padded matrix, sizes).
 
-    Rows are padded with the max sentinel (keeps rows sorted; sentinels
-    can never match a real hash because hash < 2**60).
+    Rows are padded with the max sentinel (keeps rows sorted; pad slots
+    are excluded by the size masks, so a real max-valued hash is safe).
     """
     n = len(hashes)
     smax = max((h.size for h in hashes), default=0)
@@ -45,23 +45,28 @@ def pad_sketch_matrix(hashes: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]
 
 
 @jax.jit
-def _pair_common(rows_a, rows_b, sizes_b):
+def _pair_common(rows_a, sizes_a, rows_b, sizes_b):
     """common[i, j] = |rows_a[i] ∩ rows_b[j]| via vectorized searchsorted.
 
     rows_*: uint64 sorted padded [Na, S] / [Nb, S].  Each element of a is
     binary-searched in every row of b; equality at the insertion point
-    counts it.  uint64 arrives as two uint32 words on TPU via XLA's
-    emulation — fine here because only comparisons are needed.
+    counts it.  Pad slots are excluded on BOTH sides by index masks (the
+    max-sentinel itself can be a real hash when hash_bits == 64).
+    uint64 arrives as two uint32 words on TPU via XLA's emulation —
+    fine here because only comparisons are needed.
     """
+    s = rows_a.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)[:, 0]
 
     def one_vs_row(b_row, size_b):
-        def count_in(a_row):
+        def count_in(a_row, size_a):
             idx = jnp.searchsorted(b_row, a_row, side="left")
             idx_c = jnp.minimum(idx, b_row.size - 1)
-            hit = (jnp.take(b_row, idx_c) == a_row) & (idx < size_b)
+            hit = ((jnp.take(b_row, idx_c) == a_row)
+                   & (idx < size_b) & (lane < size_a))
             return hit.sum(dtype=jnp.int32)
 
-        return jax.vmap(count_in)(rows_a)
+        return jax.vmap(count_in)(rows_a, sizes_a)
 
     return jax.vmap(one_vs_row)(rows_b, sizes_b).T
 
@@ -72,7 +77,7 @@ def common_counts_sorted(hashes0: list[np.ndarray],
     symmetric = hashes1 is None
     if symmetric:
         hashes1 = hashes0
-    a, _ = pad_sketch_matrix(hashes0)
+    a, sizes_a = pad_sketch_matrix(hashes0)
     b, sizes_b = pad_sketch_matrix(hashes1)
     smax = max(a.shape[1], b.shape[1])
     if a.shape[1] < smax:
@@ -81,5 +86,6 @@ def common_counts_sorted(hashes0: list[np.ndarray],
     if b.shape[1] < smax:
         pad = np.full((b.shape[0], smax - b.shape[1]), _SENTINEL64, np.uint64)
         b = np.concatenate([b, pad], axis=1)
-    out = _pair_common(jnp.asarray(a), jnp.asarray(b), jnp.asarray(sizes_b))
+    out = _pair_common(jnp.asarray(a), jnp.asarray(sizes_a),
+                       jnp.asarray(b), jnp.asarray(sizes_b))
     return read_array(out)

@@ -11,12 +11,14 @@ Re-design of the reference per-base rolling hot loop
 * All k-mer integer math is done in **paired uint32 lanes** (hi/lo words)
   rather than uint64 — TPU vector units are 32-bit; this keeps the whole
   kernel Pallas-portable and avoids XLA's emulated 64-bit path.
-* The per-base sequential rolling state of the reference collapses into a
-  static ``kmer_size``-step unrolled shift-OR (kmer_size <= 32), and the
-  "reset on invalid base" semantics (sketch.cpp:507-510) collapse into a
-  windowed all-valid test via cumulative sums — bit-exact equivalent
-  because a window is emitted iff the last kmer_size bases were all
-  valid/contiguous (``base > kmer_size`` counter, sketch.cpp:512).
+* The per-base sequential rolling state of the reference collapses into
+  O(1)-per-window bitstream extraction (:func:`hash_windows_stream`, the
+  production kernel) or a ``kmer_size``-step shift-OR
+  (:func:`hash_windows`, the reference formulation kept for the sharded
+  dryrun + cross-validation); the "reset on invalid base" semantics
+  (sketch.cpp:507-510) collapse into a windowed all-valid test via
+  cumulative sums — bit-exact because a window is emitted iff the last
+  kmer_size bases were all valid/contiguous (sketch.cpp:512).
 * The substring-space permutation lookup (``shuffled_dim[dim_id]``,
   sketch.cpp:519) becomes one device gather into the int32 permutation
   table resident in HBM/VMEM.
@@ -115,38 +117,6 @@ def _windows_all_valid(valid_i32, K: int):
     )
     del n
     return (wsum == K) & pos_ok
-
-
-def unpack_codes2(packed):
-    """uint8[..., B] -> uint8[..., 4B] 2-bit codes (base i at bits 2*(i%4)).
-
-    The host->device link is the bottleneck on tunnel-attached chips, so
-    bases travel packed 4-per-byte and unpack on the VPU.
-    """
-    x = packed[..., :, None] >> jnp.array([0, 2, 4, 6], jnp.uint8)
-    return (x & jnp.uint8(3)).reshape(*packed.shape[:-1], -1)
-
-
-def unpack_valid1(packed):
-    """uint8[..., B] -> bool[..., 8B] (bit i of byte = position 8j+i)."""
-    x = packed[..., :, None] >> jnp.array(range(8), jnp.uint8)
-    return ((x & jnp.uint8(1)) != 0).reshape(*packed.shape[:-1], -1)
-
-
-def pack_codes_np(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Host side: int8 codes (-1 invalid) -> (packed2 u8, valid1 u8).
-
-    Last axis must be a multiple of 8.  Inverse of unpack_codes2/
-    unpack_valid1.
-    """
-    assert codes.shape[-1] % 8 == 0
-    valid = codes >= 0
-    vals = np.where(valid, codes, 0).astype(np.uint8)
-    v4 = vals.reshape(*codes.shape[:-1], -1, 4)
-    packed2 = (v4[..., 0] | (v4[..., 1] << 2) | (v4[..., 2] << 4)
-               | (v4[..., 3] << 6)).astype(np.uint8)
-    packed1 = np.packbits(valid, axis=-1, bitorder="little")
-    return packed2, packed1
 
 
 def pack_codes_sparse_np(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -428,8 +398,11 @@ def encode_concat(records: list[tuple[bytes, bytes | None]], least_qual: int = 0
     for seq, qual in records:
         codes = _BASE_LUT_NP[np.frombuffer(seq, dtype=np.uint8)]
         if least_qual > 0 and qual is not None:
+            # partial quality (EOF-truncated record) applies as far as read
             q = np.frombuffer(qual, dtype=np.uint8)
-            codes = np.where(q[: len(codes)] >= least_qual, codes, -1).astype(np.int8)
+            m = min(len(q), len(codes))
+            codes = codes.copy()
+            codes[:m][q[:m] < least_qual] = -1
         if parts:
             parts.append(sep)
         parts.append(codes)

@@ -158,7 +158,10 @@ def sharded_common_counts(hashes0: list[np.ndarray],
 
     n0, n1 = len(hashes0), len(hashes1)
     if len(vocab) == 0:
-        return np.zeros((n0, n1), np.int32)
+        out = np.zeros((n0, n1), np.int32)
+        if symmetric:
+            np.fill_diagonal(out, [h.size for h in hashes0])
+        return out
 
     dp, vp = mesh.devices.shape
     rows_per_dp = -(-n0 // dp)
@@ -205,5 +208,8 @@ def sharded_common_counts(hashes0: list[np.ndarray],
 
     step = make_sharded_common_step(mesh, rows_per_dp, n1, cols_per_vp,
                                     cap0, cap1)
-    out = np.asarray(step(G0, C0, G1, C1))
-    return out[:n0]
+    out = np.array(step(G0, C0, G1, C1))[:n0]
+    if symmetric:
+        # the >=2-genome vocab filter drops singleton self-counts
+        np.fill_diagonal(out, [h.size for h in hashes0])
+    return out

@@ -66,18 +66,31 @@ def read_records(path: str) -> Iterator[SeqRecord]:
             if c in (b">", b"@"):
                 if name is not None:
                     yield SeqRecord(name=name, seq=b"".join(seq_parts), qual=None)
-                name = line[1:].split()[0].decode() if len(line) > 1 else ""
+                fields = line[1:].split()
+                name = fields[0].decode() if fields else ""
                 seq_parts = []
                 seq_len = 0
             elif c == b"+" and name is not None:
-                reading_qual = True
-                qual_parts = []
-                qual_len = 0
+                if seq_len == 0:
+                    # kseq reads zero quality lines for an empty record
+                    yield SeqRecord(name=name, seq=b"", qual=b"")
+                    name = None
+                    seq_parts = []
+                else:
+                    reading_qual = True
+                    qual_parts = []
+                    qual_len = 0
             else:
                 seq_parts.append(line)
                 seq_len += len(line)
         if name is not None:
-            yield SeqRecord(name=name, seq=b"".join(seq_parts), qual=None)
+            # EOF: keep the record; partial quality applies as far as
+            # read (kseq semantics)
+            yield SeqRecord(
+                name=name,
+                seq=b"".join(seq_parts),
+                qual=b"".join(qual_parts) if reading_qual else None,
+            )
 
 
 # --------------------------------------------------------------------------

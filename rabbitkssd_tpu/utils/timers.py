@@ -39,8 +39,11 @@ def phase(name: str):
 
 
 def progress_bar_size(total: int) -> int:
-    """Adaptive progress step (reference common.cpp:23-32)."""
-    n = 1
-    while total // n > 100:
-        n *= 10
-    return max(n, 1)
+    """Adaptive progress step, exactly get_progress_bar_size
+    (reference common.cpp:23-32)."""
+    coarse = total // 20
+    step = 10
+    while coarse // step:
+        step *= 10
+    step //= 10
+    return (coarse // step + 1) * step

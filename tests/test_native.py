@@ -101,3 +101,44 @@ print('STREAMING SKETCH OK')
                        capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "STREAMING SKETCH OK" in r.stdout
+
+
+def test_empty_fastq_record_does_not_eat_next(tmp_path):
+    """Regression: an empty FASTQ record must not consume the following
+    record's header as quality (kseq reads zero quality lines when
+    seq_len == 0)."""
+    p = str(tmp_path / "empty.fq")
+    with open(p, "w") as f:
+        f.write("@r1\nACGT\n+\nIIII\n@r2\n\n+\n\n@r3\nGGTTAA\n+\nIIIIII\n")
+    want = np.array([0, 1, 2, 3, -1, -1, 2, 2, 3, 3, 0, 0], np.int8)
+    np.testing.assert_array_equal(fasta_codes(p), want)
+    np.testing.assert_array_equal(_python_codes(p), want)
+    from rabbitkssd_tpu.native import fasta_codes_chunks
+
+    np.testing.assert_array_equal(
+        np.concatenate(list(fasta_codes_chunks(p, chunk=5))), want)
+    # no blank quality line before the next header either
+    p2 = str(tmp_path / "empty2.fq")
+    with open(p2, "w") as f:
+        f.write("@r1\nAC\n+\nII\n@r2\n+\n@r3\nGG\n+\nII\n")
+    want2 = np.array([0, 1, -1, -1, 2, 2], np.int8)
+    np.testing.assert_array_equal(fasta_codes(p2), want2)
+    np.testing.assert_array_equal(_python_codes(p2), want2)
+
+
+def test_eof_partial_quality_kept(tmp_path):
+    """kseq keeps a record whose quality is cut off at EOF."""
+    p = str(tmp_path / "trunc.fq")
+    with open(p, "w") as f:
+        f.write("@r1\nACGT\n+\nI")  # only 1 of 4 quality bytes
+    want = np.array([0, 1, 2, 3], np.int8)
+    np.testing.assert_array_equal(fasta_codes(p), want)
+    np.testing.assert_array_equal(_python_codes(p), want)
+    from rabbitkssd_tpu.native import fasta_codes_chunks
+
+    np.testing.assert_array_equal(
+        np.concatenate(list(fasta_codes_chunks(p, chunk=3))), want)
+    # with a quality threshold: the one read byte applies ('I'=73 < 80)
+    got = fasta_codes(p, least_qual=80)
+    np.testing.assert_array_equal(got, np.array([-1, 1, 2, 3], np.int8))
+    np.testing.assert_array_equal(_python_codes(p, least_qual=80), got)
