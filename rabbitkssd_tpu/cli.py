@@ -309,5 +309,19 @@ def main(argv: list[str] | None = None) -> int:
     return _DISPATCH[args.cmd](args)
 
 
+def _cli() -> None:
+    """Console entry: hard-exit after flushing.
+
+    The axon TPU plugin's teardown can crash (or stall on its relay
+    warm-up thread) AFTER all work is done and outputs are written;
+    os._exit skips interpreter finalization so the process's exit code
+    reflects the actual command result.
+    """
+    rc = main()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(rc)
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    _cli()

@@ -42,6 +42,8 @@ from ..ops.hostxfer import read_prefix, read_scalars
 from ..ops.kmer import (
     encode_concat,
     hash_windows_stream,
+    kept_dims_np,
+    member_kept,
     pack_codes_sparse_np,
     packed_to_words_np,
     pad_exceptions,
@@ -93,8 +95,9 @@ def _stream_step_body(params: KssdParams, cap: int, buf_cap: int,
     hasher = hash_windows_stream(params)
     halo = aligned_halo(params)
 
-    def step(words, exc, table, buf_lo, buf_hi, buf_pos, buf_batch,
+    def step(words, exc, tables, buf_lo, buf_hi, buf_pos, buf_batch,
              count, overflow, batch_idx):
+        table, kept = tables
         nb, nw = words.shape
         L = 16 * (nw - 2)
         valid = (
@@ -102,9 +105,22 @@ def _stream_step_body(params: KssdParams, cap: int, buf_cap: int,
             .at[exc].set(False, mode="drop", unique_indices=True)
             .reshape(nb, L)
         )
-        h_lo, h_hi, keep = hasher(words, valid, table)
-        h_lo = h_lo[:, halo:].ravel()
-        h_hi = h_hi[:, halo:].ravel()
+        # keep-test strategy (static): small kept sets use the
+        # gather-free compare-all membership sweep and defer the rank
+        # gather + hash composition to the ~16^-drlevel survivors after
+        # compaction; large kept sets fall back to the full-width
+        # permutation-table gather
+        use_member = kept.shape[0] <= 8192
+        if use_member:
+            uni_lo, uni_hi, dim_id, ok = hasher.windows(words, valid)
+            keep = ok & member_kept(dim_id, kept)
+            uni_lo = uni_lo[:, halo:].ravel()
+            uni_hi = uni_hi[:, halo:].ravel()
+            dim_id = dim_id[:, halo:].ravel()
+        else:
+            h_lo, h_hi, keep = hasher(words, valid, table)
+            h_lo = h_lo[:, halo:].ravel()
+            h_hi = h_hi[:, halo:].ravel()
         keep = keep[:, halo:].ravel()
         n = keep.size
 
@@ -144,8 +160,15 @@ def _stream_step_body(params: KssdParams, cap: int, buf_cap: int,
         pos_c = jnp.minimum(pos, csum.size - 1)
         if pos_space is not None:
             pos_c = jnp.take(pos_space, pos_c)
-        out_lo = jnp.take(h_lo, pos_c, axis=0)
-        out_hi = jnp.take(h_hi, pos_c, axis=0)
+        if use_member:
+            pf = jnp.take(table, jnp.take(dim_id, pos_c).astype(jnp.int32),
+                          axis=0)
+            out_lo, out_hi = hasher.compose(
+                jnp.take(uni_lo, pos_c, axis=0),
+                jnp.take(uni_hi, pos_c, axis=0), pf)
+        else:
+            out_lo = jnp.take(h_lo, pos_c, axis=0)
+            out_hi = jnp.take(h_hi, pos_c, axis=0)
         bidx = jnp.full((cap,), batch_idx, jnp.int32)
 
         start = jnp.minimum(count, buf_cap - cap)
@@ -313,6 +336,8 @@ class DeviceSketcher:
         self.n_blocks = n_blocks
         self.block = block
         self.table = jnp.asarray(shuffled_dim.astype(np.int32))
+        self.tables = (self.table,
+                       jnp.asarray(kept_dims_np(shuffled_dim, params.dim_end)))
         from ..ops import _config
 
         _config.start_warm()
@@ -373,7 +398,7 @@ class DeviceSketcher:
                     p2, exc = pack_codes_sparse_np(b.codes)
                     exc = pad_exceptions(exc, b.codes.size)
                     fb = full._step(packed_to_words_np(p2), exc,
-                                    self.table, *fb, jnp.int32(0))
+                                    self.tables, *fb, jnp.int32(0))
                     _collect(fb, [b])
                 bufs = self._fresh_buffers()
                 return
@@ -437,7 +462,7 @@ class DeviceSketcher:
             if len(pending) == window:
                 flush(pending)
                 pending = []
-            bufs = self._step(d2, dexc, self.table, *bufs,
+            bufs = self._step(d2, dexc, self.tables, *bufs,
                               jnp.int32(len(pending)))
             pending.append(batch)
         t.join()
@@ -554,6 +579,8 @@ class ShardedSketcher:
         self.n_blocks = n_blocks  # per shard
         self.block = block
         self.table = jnp.asarray(shuffled_dim.astype(np.int32))
+        self.tables = (self.table,
+                       jnp.asarray(kept_dims_np(shuffled_dim, params.dim_end)))
         n = n_blocks * block  # per-shard payload
         exp = n >> (4 * params.drlevel)
         self.cap = min(n, max(1 << 14, 4 * exp))
@@ -651,7 +678,7 @@ class ShardedSketcher:
                               self.n_blocks * rows.shape[-1], np.int32)
             for s, e in enumerate(excs):
                 exc_arr[s, : len(e)] = e
-            bufs = self._step(words, exc_arr, self.table, *bufs,
+            bufs = self._step(words, exc_arr, self.tables, *bufs,
                               jnp.int32(len(pending)))
             pending.append(batch)
         if pending:

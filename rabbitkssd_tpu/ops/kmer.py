@@ -312,10 +312,8 @@ def hash_windows_stream(params: KssdParams):
         )
         return uni_lo, uni_hi, dim_id, ok
 
-    def hash_full(words, valid, table):
-        uni_lo, uni_hi, dim_id, ok = hash_stream(words, valid)
-        pf = jnp.take(table, dim_id.astype(jnp.int32), axis=0)
-        keep = ok & (pf >= 0) & (pf < dim_end)
+    def compose(uni_lo, uni_hi, pf):
+        """dr_tuple from canonical window + permuted rank (sketch.cpp:524)."""
         pf_u = pf.astype(U32)
         h_lo = pf_u
         h_hi = jnp.zeros_like(pf_u)
@@ -325,10 +323,61 @@ def hash_windows_stream(params: KssdParams):
             h_lo, h_hi = _deposit_field(h_lo, h_hi, low_outer, pf_bits, hoc2)
             h_lo, h_hi = _deposit_field(h_lo, h_hi, high_outer,
                                         pf_bits + hoc2, hoc2)
+        return h_lo, h_hi
+
+    def hash_full(words, valid, table):
+        uni_lo, uni_hi, dim_id, ok = hash_stream(words, valid)
+        pf = jnp.take(table, dim_id.astype(jnp.int32), axis=0)
+        keep = ok & (pf >= 0) & (pf < dim_end)
+        h_lo, h_hi = compose(uni_lo, uni_hi, pf)
         return h_lo, h_hi, keep
 
     hash_full.windows = hash_stream
+    hash_full.compose = compose
     return hash_full
+
+
+# --------------------------------------------------------------------------
+# kept-dims membership: gather-free keep test
+# --------------------------------------------------------------------------
+
+_KEPT_CHUNK = 1024
+
+
+def kept_dims_np(table: np.ndarray, dim_end: int) -> np.ndarray:
+    """Sorted int32 dim_ids whose permuted rank survives sampling
+    (``0 <= table[d] < dim_end``), padded with -1 to a _KEPT_CHUNK
+    multiple.  Only a ``16^-drlevel`` fraction of the 16^subk substring
+    space is kept (sketch.cpp:519-523), so this set is tiny (4096 for
+    the L3K10 config) — membership against it replaces the random
+    gather into the 64 MiB permutation table, which is the dominant
+    device cost (random HBM gathers run at ~7.5 ns/element on TPU; the
+    compare-all sweep below is ~3.5x faster and pure VPU).
+    """
+    t = np.asarray(table)
+    kept = np.where((t >= 0) & (t < dim_end))[0].astype(np.int32)
+    pad = (-len(kept)) % _KEPT_CHUNK
+    if pad or len(kept) == 0:
+        kept = np.concatenate(
+            [kept, np.full(max(pad, _KEPT_CHUNK if len(kept) == 0 else 0),
+                           -1, np.int32)]
+        )
+    return kept
+
+
+def member_kept(dim_id, kept):
+    """bool mask: is each dim_id in the kept set (compare-all sweep).
+
+    ``kept``: sorted int32[Kd] from :func:`kept_dims_np` (-1 padded; a
+    dim_id is always >= 0 so pads never match).  Blocked so XLA fuses
+    each (N, _KEPT_CHUNK) compare into its any-reduction without
+    materialisation.
+    """
+    d = dim_id.astype(jnp.int32)
+    hit = jnp.zeros(d.shape, jnp.bool_)
+    for c in range(0, kept.shape[0], _KEPT_CHUNK):
+        hit = hit | (d[..., None] == kept[c:c + _KEPT_CHUNK]).any(axis=-1)
+    return hit
 
 
 def searchsorted_i32(a, v):
