@@ -247,21 +247,53 @@ def _counts(hashes0, hashes1):
     return common_counts(hashes0, hashes1)
 
 
+def _auto_block(n: int) -> int:
+    """Genome-axis block size bounding device memory.
+
+    The membership matmul for a (B0, B1) tile over a W-column vocab
+    chunk holds (B0p + B1p) * W bf16 + B0p * B1p int32 on device; with
+    W <= 2^22 and B = 8192 that is <= ~8.5 GiB — within one v5e chip's
+    HBM, and far below host RAM on the CPU backend.  Overridable via
+    KSSD_DIST_BLOCK.
+    """
+    env = os.environ.get("KSSD_DIST_BLOCK")
+    if env:
+        return max(128, int(env))
+    return 8192
+
+
+def _tile_counts(common_blk: np.ndarray, hashes, i0: int, bi: int,
+                 j_start: int, n: int, block: int) -> None:
+    """Fill common_blk[:, j_start:] by (row, col)-blocked tiles.
+
+    Both genome axes are blocked so no membership matrix wider than
+    ``block`` genomes ever materializes — the O(nnz)-style bounded
+    footprint of the reference's posting-list walk
+    (/root/reference/src/dist.cpp:174-204) — while each tile's counting
+    still runs as MXU matmuls over the tile pair's shared vocabulary.
+    """
+    blk = hashes[i0 : i0 + bi]
+    for j0 in range(j_start, n, block):
+        j1 = min(n, j0 + block)
+        common_blk[:, j0:j1] = _counts(blk, hashes[j0:j1])
+
+
 def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
                 containment: bool) -> None:
     """command_alldist engine (reference subCommand.cpp:149-200).
 
-    Beyond KSSD_DIST_ROW_BLOCK genomes (default 16384) the computation
-    row-blocks: each block's counts vs all genomes are computed and its
-    rows emitted before the next block — neither the full NxN counts nor
-    an NxV membership ever materializes (the 100k-genome config).
+    Beyond one block the computation tiles BOTH genome axes: row-block
+    I's counts against upper-triangle column blocks J >= I are computed
+    tile-by-tile into a host [B, n] strip, then its rows emit before
+    the next strip — neither an NxN counts matrix nor any [N, chunk]
+    membership ever materializes (the 100k-genome config 5).
     """
     hashes = [s.hashes for s in sk.sketches]
     kmer_size = 2 * sk.info.half_k
     names = [s.name for s in sk.sketches]
     n = len(hashes)
-    row_block = int(os.environ.get("KSSD_DIST_ROW_BLOCK", "16384"))
-    if n <= row_block:
+    block = _auto_block(n)
+    if n <= block:
         common = _counts(hashes, None)
         rows = alldist_rows(sk, common, kmer_size, max_dist, containment)
         _write_rows(rows, names, output_file)
@@ -274,9 +306,12 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
     print(f"=====total: {n}", file=sys.stderr)
 
     def row_gen():
-        for i0 in range(0, n, row_block):
-            blk = hashes[i0 : i0 + row_block]
-            common_blk = _counts(blk, hashes)
+        for i0 in range(0, n, block):
+            bi = min(block, n - i0)
+            # emission reads columns j > i >= i0 only, so tiles with
+            # J < I are never needed: strictly upper-triangle work
+            common_blk = np.zeros((bi, n), np.int32)
+            _tile_counts(common_blk, hashes, i0, bi, i0, n, block)
             yield from _alldist_block_rows(names, sizes, common_blk, i0,
                                            kmer_size, max_dist,
                                            containment, step)
@@ -287,11 +322,32 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
 def run_dist(ref: SketchSet, query: SketchSet, output_file: str,
              max_dist: float, containment: bool, max_neighbor: int = 0
              ) -> None:
-    """command_dist engine (reference subCommand.cpp:203-305)."""
+    """command_dist engine (reference subCommand.cpp:203-305).
+
+    Blocked over both the query and reference axes like
+    :func:`run_alldist` (full-width reference strips per query block,
+    since every query row emits against all references)."""
     qh = [s.hashes for s in query.sketches]
     rh = [s.hashes for s in ref.sketches]
-    common = _counts(qh, rh)
     kmer_size = 2 * ref.info.half_k
-    rows = dist_rows(ref, query, common, kmer_size, max_dist, containment,
-                     max_neighbor)
-    _write_rows(rows, [s.name for s in query.sketches], output_file)
+    nq, nr = len(qh), len(rh)
+    block = _auto_block(max(nq, nr))
+    if nq <= block and nr <= block:
+        common = _counts(qh, rh)
+        rows = dist_rows(ref, query, common, kmer_size, max_dist,
+                         containment, max_neighbor)
+        _write_rows(rows, [s.name for s in query.sketches], output_file)
+        return
+
+    def row_gen():
+        for q0 in range(0, nq, block):
+            bq = min(block, nq - q0)
+            common_blk = np.zeros((bq, nr), np.int32)
+            _tile_counts(common_blk, qh, q0, bq, 0, nr, block)
+            sub = SketchSet(info=query.info,
+                            sketches=query.sketches[q0 : q0 + bq])
+            yield from dist_rows(ref, sub, common_blk, kmer_size,
+                                 max_dist, containment, max_neighbor,
+                                 progress_offset=q0, progress_total=nq)
+
+    _write_rows(row_gen(), [s.name for s in query.sketches], output_file)

@@ -44,8 +44,7 @@ from ..ops.kmer import (
     hash_windows_stream,
     kept_dims_np,
     member_kept,
-    pack_codes_sparse_np,
-    packed_to_words_np,
+    pack_words_np,
     pad_exceptions,
     searchsorted_i32,
 )
@@ -91,20 +90,32 @@ def make_stream_step(params: KssdParams, n_blocks: int, block: int, cap: int,
 def _stream_step_body(params: KssdParams, cap: int, buf_cap: int,
                       compaction: str) -> Callable:
     """The un-jitted stream-step computation (shared by the single-chip
-    jit and the shard_map data-parallel wrapper)."""
+    jit and the shard_map data-parallel wrapper).
+
+    ``valid_upto`` (traced i32): payload coordinates >= it are invalid —
+    the tape tail of a final partial batch (beyond the ingested data)
+    is masked by this one compare instead of a per-position exception
+    list.  A position at offset o of row b has payload coordinate
+    b*block + o - halo (halo offsets reach into the previous row's
+    payload, or before the batch for row 0).
+    """
     hasher = hash_windows_stream(params)
     halo = aligned_halo(params)
 
     def step(words, exc, tables, buf_lo, buf_hi, buf_pos, buf_batch,
-             count, overflow, batch_idx):
+             count, overflow, batch_idx, valid_upto):
         table, kept = tables
         nb, nw = words.shape
         L = 16 * (nw - 2)
+        block = L - halo
         valid = (
             jnp.ones((nb * L,), jnp.bool_)
             .at[exc].set(False, mode="drop", unique_indices=True)
             .reshape(nb, L)
         )
+        coord = (jax.lax.broadcasted_iota(jnp.int32, (nb, L), 0) * block
+                 + jax.lax.broadcasted_iota(jnp.int32, (nb, L), 1) - halo)
+        valid = valid & (coord < valid_upto)
         # keep-test strategy (static): small kept sets use the
         # gather-free compare-all membership sweep and defer the rank
         # gather + hash composition to the ~16^-drlevel survivors after
@@ -203,15 +214,16 @@ def make_sharded_stream_step(params: KssdParams, mesh, n_blocks: int,
     axes = tuple(mesh.axis_names)
 
     def per_shard(words, exc, table, b_lo, b_hi, b_pos, b_batch, count,
-                  overflow, batch_idx):
+                  overflow, batch_idx, valid_upto):
         out = body(words[0], exc[0], table, b_lo[0], b_hi[0], b_pos[0],
-                   b_batch[0], count[0], overflow[0], batch_idx)
+                   b_batch[0], count[0], overflow[0], batch_idx,
+                   valid_upto[0])
         return tuple(o[None] for o in out)
 
     sharded = jax.shard_map(
         per_shard, mesh=mesh,
         in_specs=(P(axes), P(axes), P(), P(axes), P(axes), P(axes),
-                  P(axes), P(axes), P(axes), P()),
+                  P(axes), P(axes), P(axes), P(), P(axes)),
         out_specs=(P(axes),) * 6,
     )
     return jax.jit(sharded, donate_argnums=(3, 4, 5, 6, 7, 8))
@@ -225,96 +237,208 @@ def make_sharded_stream_step(params: KssdParams, mesh, n_blocks: int,
 
 @dataclasses.dataclass
 class _TapeBatch:
-    codes: np.ndarray  # int8[n_blocks, block + halo]
+    words: np.ndarray  # uint32[n_blocks, (block + halo)/16 + 2]
+    exc: np.ndarray  # int32[k] invalid positions, halo'd-row flat coords
     base: int  # tape offset of this batch's first payload position
+    valid_upto: int  # payload coords >= this are invalid (tape tail)
 
 
-class TapeFeeder:
-    """Concatenates genome code arrays into fixed-shape halo'd batches.
+class WordTapeFeeder:
+    """Concatenates packed genomes into fixed-shape halo'd word batches.
 
-    Genomes are separated by one invalid sentinel (windows can never span
-    genomes since a window must be all-valid).  Tracks each genome's
-    [start, end) span in tape coordinates for position->genome mapping.
+    The tape is word-aligned: every genome starts on a 16-base (one
+    u32-word) boundary, padded with 1..16 invalid positions (>= 1 so
+    k-mer windows never span genomes; invalid positions generate no
+    windows, so extra pads are semantically free).  Batch assembly is
+    then pure u32 slicing — no per-base repacking on the feeder thread
+    (round-1's measured host wall; the packing itself runs in the
+    native reader, the RabbitFX consumer role, reference
+    sketch.cpp:396-410).
+
+    Source items may be:
+      * ``(words u32, n_bases, exc i32)`` — a native-packed genome
+      * ``np.int8`` code array — packed here via :func:`pack_words_np`
+      * an iterator of either — one genome streamed in bounded chunks
+        (multi-GB inputs; every packed chunk except the genome's last
+        must hold a multiple of 16 bases)
+
+    Tracks each genome's [start, end) tape span for position->genome
+    mapping; invalid positions are carried as tape coordinates and
+    emitted per batch in halo'd-row flat coordinates (a position in the
+    last ``halo`` of a block also appears in the next row's halo).
     """
 
-    def __init__(self, genome_codes: Iterator[np.ndarray], n_blocks: int,
-                 block: int, halo: int):
-        self._src = genome_codes
+    def __init__(self, sources, n_blocks: int, block: int, halo: int):
+        assert block % 16 == 0 and halo % 16 == 0
+        self._src = iter(sources)
         self.n_blocks = n_blocks
         self.block = block
         self.halo = halo
         self.starts: list[int] = []  # genome start offsets (tape coords)
         self.ends: list[int] = []
-        self._tail = np.empty(0, dtype=np.int8)  # unconsumed tape
-        self._prev_halo = np.full(halo, -1, dtype=np.int8)
-        self._tape_len = 0
+        import collections
+
+        self._chunks: collections.deque = collections.deque()
+        self._have = 0  # words queued in _chunks
+        self._exc: collections.deque = collections.deque()
+        # the initial halo (tape coords [-halo, 0)) is invalid
+        self._exc.append(np.arange(-halo, 0, dtype=np.int64))
+        self._tape = 0  # bases ingested (word-aligned at genome ends)
         self._exhausted = False
-        self._cur = None  # active chunked-genome iterator
-        self._cur_len = 0
 
-    def _pull(self, want: int) -> np.ndarray:
-        """Pull at least `want` payload codes (or until exhausted).
+    # -- ingest -------------------------------------------------------------
+    def _push(self, words: np.ndarray, exc: np.ndarray, offset: int) -> None:
+        if len(words):
+            self._chunks.append(words)
+            self._have += len(words)
+        if len(exc):
+            self._exc.append(exc.astype(np.int64) + offset)
 
-        A source item may be a whole-genome code array OR an iterator of
-        code chunks for one genome (bounded-memory streaming of multi-GB
-        inputs — the reference's RabbitFX big-file path,
-        sketch.cpp:396-410).
-        """
-        chunks = [self._tail]
-        have = len(self._tail)
-        sep = np.array([-1], dtype=np.int8)
-        while have < want and not self._exhausted:
-            if self._cur is None:
-                try:
-                    item = next(self._src)
-                except StopIteration:
-                    self._exhausted = True
-                    break
-                if isinstance(item, np.ndarray):
-                    self.starts.append(self._tape_len + have)
-                    self.ends.append(self._tape_len + have + len(item))
-                    chunks.append(item)
-                    chunks.append(sep)
-                    have += len(item) + 1
+    def _pad_genome(self, start: int, n: int) -> None:
+        """Close a genome at tape position start+n: pad to the next word
+        boundary with >= 1 invalid separators."""
+        self.ends.append(start + n)
+        pad = 16 - (n % 16) if n % 16 else 16
+        if n % 16 == 0:
+            self._chunks.append(np.zeros(1, np.uint32))
+            self._have += 1
+        self._exc.append(np.arange(start + n, start + n + pad,
+                                   dtype=np.int64))
+        self._tape = start + n + pad
+
+    def _append_packed(self, words: np.ndarray, n: int, exc: np.ndarray
+                       ) -> None:
+        start = self._tape
+        self.starts.append(start)
+        self._push(words, exc, start)
+        self._pad_genome(start, n)
+
+    def _append_chunked(self, it) -> None:
+        start = self._tape
+        self.starts.append(start)
+        total = 0
+        stage = np.empty(0, np.int8)  # int8 remainder below one word
+        for piece in it:
+            if isinstance(piece, np.ndarray):
+                if len(stage):
+                    piece = np.concatenate([stage, piece])
+                    stage = np.empty(0, np.int8)
+                cut = len(piece) - (len(piece) % 16)
+                stage = piece[cut:]
+                if cut == 0:
                     continue
-                self._cur = iter(item)
-                self.starts.append(self._tape_len + have)
-                self._cur_len = 0
-                continue
+                w, n, e = pack_words_np(piece[:cut])
+            else:
+                w, n, e = piece
+                if len(stage):
+                    raise ValueError(
+                        "packed chunk after unaligned int8 chunk"
+                    )
+            if total % 16:
+                raise ValueError("non-final packed chunk not word-aligned")
+            self._push(w, e, start + total)
+            total += n
+        if len(stage):
+            w, n, e = pack_words_np(stage)
+            if total % 16:
+                raise ValueError("non-final packed chunk not word-aligned")
+            self._push(w, e, start + total)
+            total += n
+        self._pad_genome(start, total)
+
+    def _pull_to(self, need_bases: int) -> None:
+        while not self._exhausted and self._tape < need_bases:
             try:
-                piece = next(self._cur)
+                item = next(self._src)
             except StopIteration:
-                self.ends.append(self.starts[-1] + self._cur_len)
-                chunks.append(sep)
-                have += 1
-                self._cur = None
-                continue
-            chunks.append(piece)
-            have += len(piece)
-            self._cur_len += len(piece)
-        return np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+                self._exhausted = True
+                return
+            if isinstance(item, tuple):
+                self._append_packed(*item)
+            elif isinstance(item, np.ndarray):
+                self._append_packed(*pack_words_np(item))
+            else:
+                self._append_chunked(item)
+
+    # -- batch emission -----------------------------------------------------
+    def _take_words(self, want: int) -> list[np.ndarray]:
+        take = min(want, self._have)
+        parts: list[np.ndarray] = []
+        got = 0
+        while got < take:
+            c = self._chunks[0]
+            if got + len(c) <= take:
+                parts.append(c)
+                got += len(c)
+                self._chunks.popleft()
+            else:
+                parts.append(c[: take - got])
+                self._chunks[0] = c[take - got :]
+                got = take
+        self._have -= take
+        return parts
+
+    def _take_exc(self, limit: int) -> np.ndarray:
+        """Pop queued invalid tape positions < limit (globally ascending)."""
+        out: list[np.ndarray] = []
+        while self._exc:
+            e = self._exc[0]
+            if e[-1] < limit:
+                out.append(e)
+                self._exc.popleft()
+            else:
+                k = int(np.searchsorted(e, limit))
+                if k:
+                    out.append(e[:k])
+                    self._exc[0] = e[k:]
+                break
+        return (np.concatenate(out) if out
+                else np.empty(0, np.int64))
+
+    def _exc_to_flat(self, exc_tape: np.ndarray, base: int) -> np.ndarray:
+        """Tape coords in [base-halo, base+payload) -> halo'd flat coords."""
+        block, halo = self.block, self.halo
+        L = block + halo
+        rel = exc_tape - base
+        row = np.maximum(rel // block, 0)  # rel<0 -> row 0 halo
+        flat1 = row * L + (rel - row * block + halo)
+        dup = (rel >= 0) & (rel % block >= block - halo) \
+            & (row + 1 < self.n_blocks)
+        row2 = row[dup] + 1
+        flat2 = row2 * L + (rel[dup] - row2 * block + halo)
+        return np.concatenate([flat1, flat2]).astype(np.int32)
 
     def __iter__(self) -> Iterator[_TapeBatch]:
-        payload = self.n_blocks * self.block
+        P = self.n_blocks * self.block
+        WP, WB, WH = P // 16, self.block // 16, self.halo // 16
+        nw_row = WB + WH + 2  # + 2 zero pad words (hash_windows_stream)
+        base = 0
+        tail = np.zeros(WH, np.uint32)  # words covering [base-halo, base)
+        halo_exc = np.empty(0, np.int64)  # invalid positions in that span
         while True:
-            buf = self._pull(payload)
-            if len(buf) == 0 and self._exhausted:
+            self._pull_to(base + P)
+            if self._tape <= base:
                 return
-            cur, self._tail = buf[:payload], buf[payload:]
-            base = self._tape_len
-            self._tape_len += len(cur)
-            if len(cur) < payload:
-                cur = np.concatenate(
-                    [cur, np.full(payload - len(cur), -1, dtype=np.int8)]
+            parts = self._take_words(WP)
+            flat = np.concatenate([tail, *parts])
+            if len(flat) < WH + WP:
+                flat = np.concatenate(
+                    [flat, np.zeros(WH + WP - len(flat), np.uint32)]
                 )
-            # block rows with halos: row b covers payload [b*block,(b+1)*block)
-            rows = np.full((self.n_blocks, self.block + self.halo), -1, np.int8)
-            flat = np.concatenate([self._prev_halo, cur])
+            rows = np.zeros((self.n_blocks, nw_row), np.uint32)
             for b in range(self.n_blocks):
-                rows[b] = flat[b * self.block : b * self.block + self.block + self.halo]
-            self._prev_halo = cur[-self.halo :]
-            yield _TapeBatch(codes=rows, base=base)
-            if self._exhausted and len(self._tail) == 0:
+                rows[b, : WB + WH] = flat[b * WB : b * WB + WB + WH]
+            tail = flat[WP:].copy()
+            exc_tape = np.concatenate([halo_exc, self._take_exc(base + P)])
+            halo_exc = exc_tape[exc_tape >= base + P - self.halo]
+            yield _TapeBatch(
+                words=rows,
+                exc=self._exc_to_flat(exc_tape, base),
+                base=base,
+                valid_upto=min(self._tape - base, P),
+            )
+            base += P
+            if self._exhausted and self._tape <= base:
                 return
 
 
@@ -367,13 +491,15 @@ class DeviceSketcher:
         p = self.params
         halo = aligned_halo(p)
         payload = self.n_blocks * self.block
-        feeder = TapeFeeder(genome_codes, self.n_blocks, self.block, halo)
+        flat_size = self.n_blocks * (self.block + halo)
+        feeder = WordTapeFeeder(genome_codes, self.n_blocks, self.block,
+                                halo)
         pos_chunks: list[np.ndarray] = []
         hash_chunks: list[np.ndarray] = []
 
         # flush window: batches per carry-buffer drain, additionally
-        # bounded because each pending batch pins its raw codes on host
-        # (kept only for the rare overflow re-run)
+        # bounded because each pending batch pins its packed words on
+        # host (kept only for the rare overflow re-run)
         window = max(1, min((self.buf_cap // self.cap) - 1, 64))
         pending: list[_TapeBatch] = []
         bufs = self._fresh_buffers()
@@ -395,10 +521,10 @@ class DeviceSketcher:
                                               compaction="dense")
                 for b in pending_batches:
                     fb = full._fresh_buffers()
-                    p2, exc = pack_codes_sparse_np(b.codes)
-                    exc = pad_exceptions(exc, b.codes.size)
-                    fb = full._step(packed_to_words_np(p2), exc,
-                                    self.tables, *fb, jnp.int32(0))
+                    fb = full._step(b.words,
+                                    pad_exceptions(b.exc, flat_size),
+                                    self.tables, *fb, jnp.int32(0),
+                                    jnp.int32(b.valid_upto))
                     _collect(fb, [b])
                 bufs = self._fresh_buffers()
                 return
@@ -440,10 +566,10 @@ class DeviceSketcher:
         def producer():
             try:
                 for batch in feeder:
-                    p2, exc = pack_codes_sparse_np(batch.codes)
-                    exc = pad_exceptions(exc, batch.codes.size)
-                    q.put((jax.device_put(packed_to_words_np(p2)),
-                           jax.device_put(exc), batch))
+                    q.put((jax.device_put(batch.words),
+                           jax.device_put(
+                               pad_exceptions(batch.exc, flat_size)),
+                           batch))
             except BaseException as e:  # surface in consumer
                 q.put(e)
                 return
@@ -463,7 +589,8 @@ class DeviceSketcher:
                 flush(pending)
                 pending = []
             bufs = self._step(d2, dexc, self.tables, *bufs,
-                              jnp.int32(len(pending)))
+                              jnp.int32(len(pending)),
+                              jnp.int32(batch.valid_upto))
             pending.append(batch)
         t.join()
         if pending:
@@ -488,10 +615,10 @@ class DeviceSketcher:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        from ..native import fasta_codes, fasta_codes_chunks, load_native
+        from ..native import fasta_packed, fasta_packed_chunks, load_native
 
         # files beyond this stream through the chunked native reader
-        # instead of materializing their whole code tape (config-4
+        # instead of materializing their whole packed tape (config-4
         # multi-GB genomes; reference big-file path sketch.cpp:380-410)
         stream_threshold = int(
             os.environ.get("KSSD_STREAM_THRESHOLD", 1 << 30)
@@ -500,12 +627,12 @@ class DeviceSketcher:
         def parse(path: str):
             if (load_native() is not None
                     and os.stat(path).st_size > stream_threshold):
-                return fasta_codes_chunks(path, self.least_qual)
-            codes = fasta_codes(path, self.least_qual)
-            if codes is None:  # no native toolchain: python parser
+                return fasta_packed_chunks(path, self.least_qual)
+            pk = fasta_packed(path, self.least_qual)
+            if pk is None:  # no native toolchain: python parser
                 recs = [(r.seq, r.qual) for r in read_records(path)]
-                codes = encode_concat(recs, self.least_qual)
-            return codes
+                pk = pack_words_np(encode_concat(recs, self.least_qual))
+            return pk
 
         def gen() -> Iterator[np.ndarray]:
             # bounded parallel parse (native parser releases the GIL) —
@@ -606,8 +733,9 @@ class ShardedSketcher:
         halo = aligned_halo(p)
         S = self.n_shards
         shard_payload = self.n_blocks * self.block
-        feeder = TapeFeeder(genome_codes, S * self.n_blocks, self.block,
-                            halo)
+        L = self.block + halo  # halo'd row length (bases)
+        feeder = WordTapeFeeder(genome_codes, S * self.n_blocks,
+                                self.block, halo)
         window = max(1, min((self.buf_cap // self.cap) - 1, 64))
         pending: list[_TapeBatch] = []
         bufs = self._fresh_buffers()
@@ -659,27 +787,32 @@ class ShardedSketcher:
                     pos_chunks.append(gpos)
             bufs = self._fresh_buffers()
 
+        shard_flat = self.n_blocks * L
         for batch in feeder:
             if len(pending) == window:
                 collect(pending)
                 pending = []
-            rows = batch.codes.reshape(S, self.n_blocks, -1)
-            p2, _ = pack_codes_sparse_np(rows)
-            words = packed_to_words_np(p2)
-            # per-shard exception lists over the shard's flat halo'd space
-            excs = []
+            words = batch.words.reshape(S, self.n_blocks, -1)
+            # split the batch exception list by shard (flat coords are
+            # row-major over all S * n_blocks halo'd rows)
+            shard_of = batch.exc // shard_flat
+            order = np.argsort(shard_of, kind="stable")
+            exc_s = batch.exc[order] - shard_of[order] * shard_flat
+            bounds = np.searchsorted(shard_of[order], np.arange(S + 1))
             cap_exc = 1024
+            while cap_exc < max(np.diff(bounds), default=0):
+                cap_exc <<= 1
+            exc_arr = np.full((S, cap_exc), shard_flat, np.int32)
             for s in range(S):
-                e = np.nonzero(rows[s].ravel() < 0)[0].astype(np.int32)
-                while cap_exc < len(e):
-                    cap_exc <<= 1
-                excs.append(e)
-            exc_arr = np.full((S, cap_exc),
-                              self.n_blocks * rows.shape[-1], np.int32)
-            for s, e in enumerate(excs):
+                e = exc_s[bounds[s] : bounds[s + 1]]
                 exc_arr[s, : len(e)] = e
+            # per-shard valid_upto in shard-local payload coords
+            vupto = np.clip(
+                batch.valid_upto - np.arange(S) * shard_payload,
+                0, shard_payload,
+            ).astype(np.int32)
             bufs = self._step(words, exc_arr, self.tables, *bufs,
-                              jnp.int32(len(pending)))
+                              jnp.int32(len(pending)), vupto)
             pending.append(batch)
         if pending:
             collect(pending)
@@ -697,13 +830,21 @@ MeshSketcher = ShardedSketcher
 def _rerun_batch_single(single: "DeviceSketcher", batch: _TapeBatch,
                         p: KssdParams) -> tuple[np.ndarray, np.ndarray]:
     """Exact re-hash of one batch via the (overflow-safe) dense path."""
-    from ..ops.kmer import combine_hash_words, make_hash_kernel
+    from ..ops.kmer import combine_hash_words
 
-    kern = make_hash_kernel(p)
     halo_a = aligned_halo(p)
-    codes = batch.codes
-    valid = codes >= 0
-    h_lo, h_hi, keep = kern(codes, valid, single.table)
+    nb, nw = batch.words.shape
+    L = 16 * (nw - 2)
+    block = L - halo_a
+    valid = np.ones(nb * L, bool)
+    valid[batch.exc] = False
+    valid = valid.reshape(nb, L)
+    coord = (np.arange(nb)[:, None] * block + np.arange(L)[None, :]
+             - halo_a)
+    valid &= coord < batch.valid_upto
+    kern = jax.jit(hash_windows_stream(p))
+    h_lo, h_hi, keep = kern(jnp.asarray(batch.words), jnp.asarray(valid),
+                            single.table)
     keep = np.asarray(keep)[:, halo_a:]
     h = combine_hash_words(
         np.asarray(h_lo)[:, halo_a:], np.asarray(h_hi)[:, halo_a:],
@@ -713,7 +854,7 @@ def _rerun_batch_single(single: "DeviceSketcher", batch: _TapeBatch,
     return h, flat_pos
 
 
-def _group_by_genome(feeder: TapeFeeder, hash_chunks, pos_chunks,
+def _group_by_genome(feeder: WordTapeFeeder, hash_chunks, pos_chunks,
                      p: KssdParams, least_num_kmer: int
                      ) -> tuple[list[np.ndarray], int]:
     n_genomes = len(feeder.starts)

@@ -76,7 +76,139 @@ def load_native():
                 ct.POINTER(ct.POINTER(ct.c_int8)), ct.POINTER(ct.c_int64),
             ]
             _LIB.kssd_free.argtypes = [ct.c_void_p]
+            _LIB.kssd_pack_codes.restype = ct.c_int
+            _LIB.kssd_pack_codes.argtypes = [
+                ct.POINTER(ct.c_int8), ct.c_int64, ct.POINTER(ct.c_uint32),
+                ct.POINTER(ct.POINTER(ct.c_int32)), ct.POINTER(ct.c_int64),
+            ]
+            _LIB.kssd_fasta_packed.restype = ct.c_int
+            _LIB.kssd_fasta_packed.argtypes = [
+                ct.c_char_p, ct.c_int,
+                ct.POINTER(ct.POINTER(ct.c_uint32)), ct.POINTER(ct.c_int64),
+                ct.POINTER(ct.POINTER(ct.c_int32)), ct.POINTER(ct.c_int64),
+            ]
         return _LIB
+
+
+def _take_i32(lib, ptr, n):
+    """Copy a malloc'd int32 buffer into numpy and free it."""
+    import numpy as np
+
+    try:
+        if n == 0:
+            return np.empty(0, np.int32)
+        return np.ctypeslib.as_array(ptr, shape=(n,)).astype(
+            np.int32, copy=True
+        )
+    finally:
+        if ptr:
+            lib.kssd_free(ptr)
+
+
+def fasta_packed(path: str, least_qual: int = 0):
+    """Native FASTA/FASTQ(.gz) -> (words u32[ceil(n/16)], n_bases,
+    exc i32[n_exc]); None if the toolchain is unavailable.
+
+    One native pass: parse + 2-bit pack + invalid-position extraction
+    (the packed-feeder hot path; round-1 did the pack in numpy on the
+    feeder thread, which was the measured pipeline wall).
+    """
+    import ctypes as ct
+
+    import numpy as np
+
+    lib = load_native()
+    if lib is None:
+        return None
+    wp = ct.POINTER(ct.c_uint32)()
+    nb = ct.c_int64()
+    ep = ct.POINTER(ct.c_int32)()
+    ne = ct.c_int64()
+    rc = lib.kssd_fasta_packed(path.encode(), int(least_qual),
+                               ct.byref(wp), ct.byref(nb),
+                               ct.byref(ep), ct.byref(ne))
+    if rc != 0:
+        raise IOError(f"native packed reader failed (rc={rc}) on {path}")
+    try:
+        nw = (nb.value + 15) // 16
+        words = (np.ctypeslib.as_array(wp, shape=(nw,)).astype(
+            np.uint32, copy=True) if nw else np.empty(0, np.uint32))
+    finally:
+        if wp:
+            lib.kssd_free(wp)
+    exc = _take_i32(lib, ep, ne.value)
+    return words, nb.value, exc
+
+
+def pack_codes_native(codes):
+    """int8 code array -> (words u32, exc i32) via the native packer;
+    None if the toolchain is unavailable."""
+    import ctypes as ct
+
+    import numpy as np
+
+    lib = load_native()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.int8)
+    n = codes.size
+    words = np.empty((n + 15) // 16, np.uint32)
+    ep = ct.POINTER(ct.c_int32)()
+    ne = ct.c_int64()
+    rc = lib.kssd_pack_codes(
+        codes.ctypes.data_as(ct.POINTER(ct.c_int8)), ct.c_int64(n),
+        words.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        ct.byref(ep), ct.byref(ne),
+    )
+    if rc != 0:
+        raise MemoryError("native pack failed")
+    return words, _take_i32(lib, ep, ne.value)
+
+
+def fasta_packed_chunks(path: str, least_qual: int = 0,
+                        chunk: int = 1 << 24):
+    """Generator of (words u32, n_bases, exc i32) chunks for one file.
+
+    Bounded memory for multi-GB inputs; every chunk except the last
+    holds exactly ``chunk`` bases (a multiple of 16, so chunks
+    concatenate word-aligned).  Raises if the toolchain is unavailable.
+    """
+    assert chunk % 16 == 0
+    import ctypes as ct
+
+    import numpy as np
+
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("native toolchain unavailable")
+    _bind_stream(lib)
+    h = lib.kssd_fasta_open(path.encode(), int(least_qual))
+    if not h:
+        raise IOError(f"cannot open {path}")
+    try:
+        while True:
+            buf = np.empty(chunk, np.int8)
+            n = lib.kssd_fasta_read_codes(
+                h, buf.ctypes.data_as(ct.POINTER(ct.c_int8)),
+                ct.c_int64(chunk),
+            )
+            if n < 0:
+                raise IOError(f"native stream reader failed on {path}")
+            if n == 0:
+                return
+            words = np.empty((n + 15) // 16, np.uint32)
+            ep = ct.POINTER(ct.c_int32)()
+            ne = ct.c_int64()
+            rc = lib.kssd_pack_codes(
+                buf.ctypes.data_as(ct.POINTER(ct.c_int8)), ct.c_int64(n),
+                words.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+                ct.byref(ep), ct.byref(ne),
+            )
+            if rc != 0:
+                raise MemoryError("native pack failed")
+            yield words, int(n), _take_i32(lib, ep, ne.value)
+    finally:
+        lib.kssd_fasta_close(h)
 
 
 def _bind_stream(lib):

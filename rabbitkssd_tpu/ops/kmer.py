@@ -137,6 +137,28 @@ def pack_codes_sparse_np(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return packed2, exc
 
 
+def pack_words_np(codes: np.ndarray) -> tuple[np.ndarray, int, np.ndarray]:
+    """int8 codes (-1 invalid) -> (words u32[ceil(n/16)], n, exc i32).
+
+    numpy fallback for the native ``kssd_pack_codes``: base i lands at
+    bits 2*(i%16) of word i//16; invalid positions pack as 0 bits and
+    are returned as flat positions.
+    """
+    n = len(codes)
+    valid = codes >= 0
+    exc = np.nonzero(~valid)[0].astype(np.int32)
+    pad = (-n) % 16
+    if pad:
+        codes = np.concatenate([codes, np.zeros(pad, np.int8)])
+        valid = np.concatenate([valid, np.ones(pad, bool)])
+    vals = np.where(valid, codes, 0).astype(np.uint8)
+    v4 = vals.reshape(-1, 4)
+    packed2 = (v4[:, 0] | (v4[:, 1] << 2) | (v4[:, 2] << 4)
+               | (v4[:, 3] << 6)).astype(np.uint8)
+    words = np.ascontiguousarray(packed2).view("<u4")
+    return words, n, exc
+
+
 def pad_exceptions(exc: np.ndarray, flat_size: int, floor: int = 1024
                    ) -> np.ndarray:
     """Pad exception positions to a power-of-two bucket; pads carry
