@@ -57,6 +57,37 @@ def aligned_halo(params: KssdParams) -> int:
     return -(-(params.kmer_size - 1) // 16) * 16
 
 
+def keep_rep_np(shuffled_dim: np.ndarray, dim_end: int) -> np.ndarray:
+    """Pick the device representation of the kept-dims set.
+
+    * small sets (<= 8192): 1-D sorted kept array -> compare-all sweep
+    * mid-size sets on TPU (R = ceil(|kept|/128) <= 1024, the drlevel<3
+      configs, e.g. L2K8's 65536 kept dims): 2-D [R, 128] lane table ->
+      Pallas lane-partitioned membership (ops/pallas_member.py)
+    * otherwise: the 1-D array again, which the step treats as the
+      full-table gather fallback
+
+    ``KSSD_KEEP_STRATEGY`` in {auto, member, lane, gather} overrides.
+    """
+    strategy = os.environ.get("KSSD_KEEP_STRATEGY", "auto")
+    kept = kept_dims_np(shuffled_dim, dim_end)
+    if strategy == "member":
+        return kept
+    if strategy == "gather":
+        # > 8192 entries forces the gather branch regardless of content
+        return np.concatenate(
+            [kept, np.full(max(0, 8193 - len(kept)), -1, np.int32)]
+        )
+    if strategy == "lane" or (kept.shape[0] > 8192
+                              and jax.default_backend() == "tpu"):
+        from ..ops.pallas_member import lane_table_np
+
+        lt = lane_table_np(shuffled_dim, dim_end)
+        if strategy == "lane" or lt.shape[0] <= 1024:
+            return lt
+    return kept
+
+
 # --------------------------------------------------------------------------
 # device program: hash + compact
 # --------------------------------------------------------------------------
@@ -116,15 +147,26 @@ def _stream_step_body(params: KssdParams, cap: int, buf_cap: int,
         coord = (jax.lax.broadcasted_iota(jnp.int32, (nb, L), 0) * block
                  + jax.lax.broadcasted_iota(jnp.int32, (nb, L), 1) - halo)
         valid = valid & (coord < valid_upto)
-        # keep-test strategy (static): small kept sets use the
-        # gather-free compare-all membership sweep and defer the rank
+        # keep-test strategy (static, from the kept representation's
+        # shape): a 2-D [R, 128] lane table runs the Pallas
+        # lane-partitioned membership kernel (drlevel<3 configs whose
+        # kept sets are too large for compare-all); a small 1-D kept set
+        # uses the gather-free compare-all sweep; both defer the rank
         # gather + hash composition to the ~16^-drlevel survivors after
-        # compaction; large kept sets fall back to the full-width
-        # permutation-table gather
-        use_member = kept.shape[0] <= 8192
+        # compaction.  Large 1-D kept sets fall back to the full-width
+        # permutation-table gather.
+        use_lane = kept.ndim == 2
+        use_member = use_lane or kept.shape[0] <= 8192
         if use_member:
             uni_lo, uni_hi, dim_id, ok = hasher.windows(words, valid)
-            keep = ok & member_kept(dim_id, kept)
+            if use_lane:
+                from ..ops.pallas_member import member_lane
+
+                hit = member_lane(dim_id, kept,
+                                  interpret=jax.default_backend() != "tpu")
+            else:
+                hit = member_kept(dim_id, kept)
+            keep = ok & hit
             uni_lo = uni_lo[:, halo:].ravel()
             uni_hi = uni_hi[:, halo:].ravel()
             dim_id = dim_id[:, halo:].ravel()
@@ -461,7 +503,7 @@ class DeviceSketcher:
         self.block = block
         self.table = jnp.asarray(shuffled_dim.astype(np.int32))
         self.tables = (self.table,
-                       jnp.asarray(kept_dims_np(shuffled_dim, params.dim_end)))
+                       jnp.asarray(keep_rep_np(shuffled_dim, params.dim_end)))
         from ..ops import _config
 
         _config.start_warm()
@@ -707,7 +749,7 @@ class ShardedSketcher:
         self.block = block
         self.table = jnp.asarray(shuffled_dim.astype(np.int32))
         self.tables = (self.table,
-                       jnp.asarray(kept_dims_np(shuffled_dim, params.dim_end)))
+                       jnp.asarray(keep_rep_np(shuffled_dim, params.dim_end)))
         n = n_blocks * block  # per-shard payload
         exp = n >> (4 * params.drlevel)
         self.cap = min(n, max(1 << 14, 4 * exp))

@@ -108,7 +108,7 @@ def _member_call(d2, lane_tab, interpret: bool):
     # trace with x64 disabled: under jax_enable_x64 the BlockSpec index
     # maps produce i64 scalars, which Mosaic cannot lower; all kernel
     # dtypes here are explicit 32-bit so semantics are unchanged
-    with jax.experimental.disable_x64():
+    with jax.enable_x64(False):
         out = pl.pallas_call(
             functools.partial(_member_kernel, R),
             grid=(M // _SUB,),
