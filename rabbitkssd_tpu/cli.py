@@ -305,6 +305,11 @@ _DISPATCH = {
 
 
 def main(argv: list[str] | None = None) -> int:
+    # multi-host runtime: no-op unless JAX_COORDINATOR_ADDRESS is set
+    # (pod-scale config 5; every host runs the same CLI invocation)
+    from .parallel.multihost import init_multihost
+
+    init_multihost()
     args = build_parser().parse_args(argv)
     return _DISPATCH[args.cmd](args)
 

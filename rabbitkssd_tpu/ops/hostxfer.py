@@ -46,7 +46,16 @@ def _pad_flat_jit(arr):
 
 
 def read_array(arr) -> np.ndarray:
-    """Read a whole device array, padding tiny ones to the 128 KiB floor."""
+    """Read a whole device array, padding tiny ones to the 128 KiB floor.
+
+    Multi-controller (jax.distributed) arrays sharded over all hosts'
+    devices are not fully addressable from any one process; every
+    process gathers the full value so downstream host-side merges run
+    replicated (the standard multi-controller pattern)."""
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.array(multihost_utils.process_allgather(arr, tiled=True))
     shape = arr.shape
     flat = np.asarray(_pad_flat_jit(arr))
     n = int(np.prod(shape)) if shape else 1

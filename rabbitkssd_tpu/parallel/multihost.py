@@ -26,13 +26,21 @@ def init_multihost(coordinator: str | None = None,
     """Initialize jax.distributed from args or the standard env vars
     (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
 
-    No-op when single-process (no coordinator configured).
+    No-op when single-process (no coordinator configured).  On the CPU
+    backend, cross-process collectives need gloo and a per-process
+    virtual device count (KSSD_CPU_DEVICES, default 1) — this is the
+    multi-host CI path (SURVEY §4: fake a pod without hardware).
     """
     import jax
 
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not coordinator:
         return
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        n_cpu = int(os.environ.get("KSSD_CPU_DEVICES", "1"))
+        if n_cpu > 1:
+            jax.config.update("jax_num_cpu_devices", n_cpu)
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes

@@ -208,7 +208,9 @@ def sharded_common_counts(hashes0: list[np.ndarray],
 
     step = make_sharded_common_step(mesh, rows_per_dp, n1, cols_per_vp,
                                     cap0, cap1)
-    out = np.array(step(G0, C0, G1, C1))[:n0]
+    from ..ops.hostxfer import read_array
+
+    out = read_array(step(G0, C0, G1, C1))[:n0]
     if symmetric:
         # the >=2-genome vocab filter drops singleton self-counts
         np.fill_diagonal(out, [h.size for h in hashes0])
