@@ -538,6 +538,7 @@ class DeviceSketcher:
                                 halo)
         pos_chunks: list[np.ndarray] = []
         hash_chunks: list[np.ndarray] = []
+        finalizer = GenomeFinalizer(feeder, p, self.least_num_kmer)
 
         # flush window: batches per carry-buffer drain, additionally
         # bounded because each pending batch pins its packed words on
@@ -629,6 +630,8 @@ class DeviceSketcher:
             d2, dexc, batch = item
             if len(pending) == window:
                 flush(pending)
+                finalizer.add(hash_chunks, pos_chunks,
+                              pending[-1].base + pending[-1].valid_upto)
                 pending = []
             bufs = self._step(d2, dexc, self.tables, *bufs,
                               jnp.int32(len(pending)),
@@ -637,9 +640,11 @@ class DeviceSketcher:
         t.join()
         if pending:
             flush(pending)
+            finalizer.add(hash_chunks, pos_chunks,
+                          pending[-1].base + pending[-1].valid_upto)
 
-        return _group_by_genome(feeder, hash_chunks, pos_chunks, p,
-                                self.least_num_kmer)
+        self.last_peak_pending = finalizer.peak_pending
+        return finalizer.finish()
 
     # -- file-level API -------------------------------------------------------
     def sketch_files(self, files: list[str]) -> SketchSet:
@@ -783,6 +788,7 @@ class ShardedSketcher:
         bufs = self._fresh_buffers()
         hash_chunks: list[np.ndarray] = []
         pos_chunks: list[np.ndarray] = []
+        finalizer = GenomeFinalizer(feeder, p, self.least_num_kmer)
 
         def collect(pending_batches):
             nonlocal bufs
@@ -833,6 +839,8 @@ class ShardedSketcher:
         for batch in feeder:
             if len(pending) == window:
                 collect(pending)
+                finalizer.add(hash_chunks, pos_chunks,
+                              pending[-1].base + pending[-1].valid_upto)
                 pending = []
             words = batch.words.reshape(S, self.n_blocks, -1)
             # split the batch exception list by shard (flat coords are
@@ -858,9 +866,11 @@ class ShardedSketcher:
             pending.append(batch)
         if pending:
             collect(pending)
+            finalizer.add(hash_chunks, pos_chunks,
+                          pending[-1].base + pending[-1].valid_upto)
 
-        return _group_by_genome(feeder, hash_chunks, pos_chunks, p,
-                                self.least_num_kmer)
+        self.last_peak_pending = finalizer.peak_pending
+        return finalizer.finish()
 
 
 # the file-level API is identical across sketchers (it only needs
@@ -896,31 +906,84 @@ def _rerun_batch_single(single: "DeviceSketcher", batch: _TapeBatch,
     return h, flat_pos
 
 
-def _group_by_genome(feeder: WordTapeFeeder, hash_chunks, pos_chunks,
-                     p: KssdParams, least_num_kmer: int
-                     ) -> tuple[list[np.ndarray], int]:
-    n_genomes = len(feeder.starts)
-    dt = np.uint64 if p.use64 else np.uint32
-    if not hash_chunks:
-        return [np.empty(0, dt) for _ in range(n_genomes)], n_genomes
-    allh = np.concatenate(hash_chunks)
-    allp = np.concatenate(pos_chunks)
-    starts = np.asarray(feeder.starts, dtype=np.int64)
-    gidx = np.searchsorted(starts, allp, side="right") - 1
-    out: list[np.ndarray] = []
-    order = np.argsort(gidx, kind="stable")
-    gsorted = gidx[order]
-    hsorted = allh[order]
-    bounds = np.searchsorted(gsorted, np.arange(n_genomes + 1))
-    for g in range(n_genomes):
-        h = hsorted[bounds[g]: bounds[g + 1]]
-        if least_num_kmer > 1:
-            vals, counts = np.unique(h, return_counts=True)
-            vals = vals[counts >= least_num_kmer]
+class GenomeFinalizer:
+    """Per-genome sketch finalization as the tape passes genome ends.
+
+    Survivor (hash, tape-position) chunks arrive per flush window; any
+    genome whose [start, end) span lies entirely below the flushed
+    watermark is final — its survivors are deduplicated (np.unique, plus
+    the fastq abundance filter) and freed immediately.  Host memory is
+    thus bounded by one flush window's survivors plus any genome still
+    in flight, independent of corpus size — the streaming analogue of
+    the reference freeing each per-genome hash set after insertion into
+    the sketch vector (sketch.cpp:529,434-447), where round 1 held every
+    survivor until end of corpus (tens of GB at the 100k-genome config).
+    """
+
+    def __init__(self, feeder: WordTapeFeeder, p: KssdParams,
+                 least_num_kmer: int):
+        self.feeder = feeder
+        self.dt = np.uint64 if p.use64 else np.uint32
+        self.least = least_num_kmer
+        self._h: list[np.ndarray] = []  # pending survivor hashes
+        self._p: list[np.ndarray] = []  # ... and their tape positions
+        self._next = 0  # next genome index to finalize
+        self.out: list[np.ndarray] = []
+        self.peak_pending = 0  # max survivors ever held (for tests)
+
+    def _finalize_upto(self, g_hi: int) -> None:
+        if g_hi <= self._next:
+            return
+        if self._h:
+            allh = np.concatenate(self._h)
+            allp = np.concatenate(self._p)
         else:
-            vals = np.unique(h)
-        out.append(vals.astype(dt))
-    return out, n_genomes
+            allh = np.empty(0, self.dt)
+            allp = np.empty(0, np.int64)
+        self._h.clear()
+        self._p.clear()
+        self.peak_pending = max(self.peak_pending, allh.size)
+        starts = np.asarray(self.feeder.starts, dtype=np.int64)
+        gidx = np.searchsorted(starts, allp, side="right") - 1
+        order = np.argsort(gidx, kind="stable")
+        gsorted = gidx[order]
+        hsorted = allh[order]
+        psorted = allp[order]
+        bounds = np.searchsorted(gsorted, np.arange(self._next, g_hi + 1))
+        for i in range(g_hi - self._next):
+            h = hsorted[bounds[i]: bounds[i + 1]]
+            if self.least > 1:
+                vals, counts = np.unique(h, return_counts=True)
+                vals = vals[counts >= self.least]
+            else:
+                vals = np.unique(h)
+            self.out.append(vals.astype(self.dt))
+        if bounds[-1] < hsorted.size:  # survivors of unfinished genomes
+            self._h.append(hsorted[bounds[-1]:])
+            self._p.append(psorted[bounds[-1]:])
+        self._next = g_hi
+
+    def add(self, hash_chunks: list[np.ndarray],
+            pos_chunks: list[np.ndarray], upto: int) -> None:
+        """Ingest one flush window's survivor chunks (consumes the
+        lists) and finalize every genome that ended at tape position
+        <= ``upto``."""
+        self._h.extend(hash_chunks)
+        self._p.extend(pos_chunks)
+        hash_chunks.clear()
+        pos_chunks.clear()
+        ends = self.feeder.ends
+        g_hi = self._next
+        while g_hi < len(ends) and ends[g_hi] <= upto:
+            g_hi += 1
+        self._finalize_upto(g_hi)
+
+    def finish(self) -> tuple[list[np.ndarray], int]:
+        self._finalize_upto(len(self.feeder.ends))
+        n = len(self.feeder.starts)
+        while len(self.out) < n:  # trailing genomes with zero survivors
+            self.out.append(np.empty(0, self.dt))
+        return self.out, n
 
 
 def sketch_file_list(list_path: str, shuf: "shuffle_mod.ShuffleFile",
