@@ -150,12 +150,60 @@ class _Neighbor:
     dist: float
 
 
+def _topn_heap(crow, bulk, rnames, rsizes, size1, kmer_size, max_dist,
+               f, max_neighbor: int) -> StdPriorityQueue:
+    """Exact replay of the reference's bounded top-N heap
+    (dist.cpp:599,633-639,669-675) without the O(n_ref) Python loop.
+
+    Two phases, both restricted to vectorized candidate sets:
+    1. fill — only rows passing the ``<= maxDist`` filter can be pushed;
+    2. replace — once full, the heap max ``v`` only ever DECREASES, so
+       every future participant satisfies ``d < v_at_fill``; one
+       ``nonzero`` over the bulk distances yields a candidate superset
+       (with an ulp margin, since bulk uses np.log and emission
+       math.log) replayed in arrival order with the exact scalar test.
+    """
+    queue: StdPriorityQueue[_Neighbor] = StdPriorityQueue(
+        lambda a, b: a.dist < b.dist
+    )
+
+    def push_j(j: int) -> bool:
+        c = int(crow[j])
+        size0 = int(rsizes[j])
+        jorc, d = f(c, size0, size1, kmer_size)
+        if d > max_dist:
+            return False
+        if len(queue) < max_neighbor:
+            queue.push(_Neighbor(rnames[j], c, size0, jorc, d))
+            return True
+        if d < queue.top().dist:
+            queue.push(_Neighbor(rnames[j], c, size0, jorc, d))
+            queue.pop()
+            return True
+        return False
+
+    pass_j = np.nonzero(bulk <= max_dist + _EPS)[0]
+    k = 0
+    while k < pass_j.size and len(queue) < max_neighbor:
+        push_j(int(pass_j[k]))
+        k += 1
+    if k < pass_j.size and len(queue) == max_neighbor:
+        rest = pass_j[k:]
+        v_fill = queue.top().dist
+        for j in rest[bulk[rest] < v_fill + _EPS]:
+            push_j(int(j))
+    return queue
+
+
 def dist_rows(ref: SketchSet, query: SketchSet, common: np.ndarray,
               kmer_size: int, max_dist: float, containment: bool,
-              max_neighbor: int = 0):
+              max_neighbor: int = 0, progress_offset: int = 0,
+              progress_total: int | None = None):
     """Yield exact output rows of index_dist (query-major full rows).
 
-    common: int32 [n_query, n_ref].
+    common: int32 [n_query, n_ref].  progress_offset/progress_total
+    carry the global query numbering when called per query block
+    (run_dist's two-axis-blocked path).
     """
     rnames = [s.name for s in ref.sketches]
     rsizes = np.array([s.size for s in ref.sketches], np.int64)
@@ -164,46 +212,36 @@ def dist_rows(ref: SketchSet, query: SketchSet, common: np.ndarray,
     from ..utils.timers import progress_bar_size
 
     is_neighbor = max_neighbor > 0
-    step = progress_bar_size(len(qnames))
-    print(f"=====total: {len(qnames)}", file=sys.stderr)
+    total = progress_total if progress_total is not None else len(qnames)
+    step = progress_bar_size(total)
+    if progress_offset == 0:
+        print(f"=====total: {total}", file=sys.stderr)
     f = _containment_aaf if containment else _jaccard_mash
     for i in range(len(qnames)):
-        if i % step == 0:
-            print(f"=====finish: {i}", file=sys.stderr)
+        if (progress_offset + i) % step == 0:
+            print(f"=====finish: {progress_offset + i}", file=sys.stderr)
         size1 = int(qsizes[i])
         crow = common[i]
         bulk = _bulk_dist(crow, rsizes, size1, kmer_size, containment)
         if is_neighbor:
-            cand = range(len(rnames))  # heap needs every passing row in order
-        else:
-            cand = np.nonzero(bulk <= max_dist + _EPS)[0]
-        queue: StdPriorityQueue[_Neighbor] = StdPriorityQueue(
-            lambda a, b: a.dist < b.dist
-        )
-        for j in cand:
-            j = int(j)
-            c = int(crow[j])
-            size0 = int(rsizes[j])
-            jorc, d = f(c, size0, size1, kmer_size)
-            if d <= max_dist:
-                if is_neighbor:
-                    nb = _Neighbor(rnames[j], c, size0, jorc, d)
-                    if len(queue) < max_neighbor:
-                        queue.push(nb)
-                    elif d < queue.top().dist:
-                        queue.push(nb)
-                        queue.pop()
-                else:
-                    yield (
-                        f"{qnames[i]}\t{rnames[j]}\t{c}|{size0}|{size1}\t"
-                        f"{_d6(jorc)}\t{_d6(d)}\n"
-                    )
-        if is_neighbor:
+            queue = _topn_heap(crow, bulk, rnames, rsizes, size1,
+                               kmer_size, max_dist, f, max_neighbor)
             while len(queue):
                 t = queue.pop()
                 yield (
                     f"{qnames[i]}\t{t.ref_name}\t{t.common}|{t.ref_size}|"
                     f"{size1}\t{_d6(t.jorc)}\t{_d6(t.dist)}\n"
+                )
+            continue
+        for j in np.nonzero(bulk <= max_dist + _EPS)[0]:
+            j = int(j)
+            c = int(crow[j])
+            size0 = int(rsizes[j])
+            jorc, d = f(c, size0, size1, kmer_size)
+            if d <= max_dist:
+                yield (
+                    f"{qnames[i]}\t{rnames[j]}\t{c}|{size0}|{size1}\t"
+                    f"{_d6(jorc)}\t{_d6(d)}\n"
                 )
 
 

@@ -118,13 +118,97 @@ def test_write_rows_4gb_split(tmp_path, monkeypatch):
     assert len(idx) == 7
 
 
-def test_alldist_row_blocked(tmp_path, monkeypatch):
-    """Row-blocked path must emit identical rows to the monolithic one."""
-    monkeypatch.setenv("KSSD_DIST_ROW_BLOCK", "3")
+def test_alldist_two_axis_blocked(tmp_path, monkeypatch):
+    """The two-axis-tiled path must emit identical rows to the
+    monolithic one (config-5 bounded-memory tiling)."""
+    monkeypatch.setenv("KSSD_DIST_BLOCK", "128")  # floor is 128
     sk = read_sketches(os.path.join(GOLDEN, "fa_k8s4l1.sketch"))
+    # duplicate sketches past one block so multiple tiles really run
+    import dataclasses
+
+    reps = []
+    for r in range(40):
+        for s in sk.sketches:
+            reps.append(dataclasses.replace(s, name=f"{s.name}#{r}"))
+    big = dataclasses.replace(sk, sketches=reps)
     out = str(tmp_path / "blk.dist")
-    run_alldist(sk, out, max_dist=1.0, containment=False)
+    run_alldist(big, out, max_dist=0.6, containment=False)
     got_h, got = _sorted_rows(out)
-    want_h, want = _sorted_rows(os.path.join(GOLDEN, "fa_k8s4l1.alldist"))
+    monkeypatch.setenv("KSSD_DIST_BLOCK", str(len(reps)))
+    out2 = str(tmp_path / "mono.dist")
+    run_alldist(big, out2, max_dist=0.6, containment=False)
+    want_h, want = _sorted_rows(out2)
     assert got_h == want_h
     assert got == want
+
+
+def test_dist_query_blocked(tmp_path, monkeypatch):
+    """Blocked ref-vs-query equals the monolithic path, with and
+    without top-N."""
+    import dataclasses
+
+    from rabbitkssd_tpu.engine.dist_engine import run_dist
+
+    ref = read_sketches(os.path.join(GOLDEN, "fa_k8s4l1.sketch"))
+    reps = []
+    for r in range(50):
+        for s in ref.sketches:
+            reps.append(dataclasses.replace(s, name=f"{s.name}#{r}"))
+    query = dataclasses.replace(ref, sketches=reps)
+    for n_top in (0, 2):
+        outs = []
+        for blk in ("128", str(max(len(reps), len(ref.sketches)))):
+            monkeypatch.setenv("KSSD_DIST_BLOCK", blk)
+            out = str(tmp_path / f"d_{n_top}_{blk}.dist")
+            run_dist(ref, query, out, max_dist=1.0, containment=False,
+                     max_neighbor=n_top)
+            outs.append(open(out).read())
+        # same block structure per query row order: byte equality
+        assert outs[0] == outs[1], f"top-N={n_top}"
+
+
+def test_topn_matches_scalar_reference(rng):
+    """The candidate-jump top-N heap replays the reference's scalar
+    push/pop sequence exactly (incl. ties and the fill phase)."""
+    from rabbitkssd_tpu.engine.dist_engine import (
+        _bulk_dist, _jaccard_mash, _topn_heap,
+    )
+    from rabbitkssd_tpu.utils.stdheap import StdPriorityQueue
+    from rabbitkssd_tpu.engine.dist_engine import _Neighbor
+
+    nr = 500
+    kmer = 16
+    for trial in range(20):
+        rsizes = rng.integers(1, 2000, size=nr).astype(np.int64)
+        size1 = int(rng.integers(1, 2000))
+        crow = np.minimum(rng.integers(0, 600, size=nr), rsizes)
+        # inject exact ties and degenerate rows
+        crow[rng.integers(0, nr, 30)] = 0
+        crow[rng.integers(0, nr, 10)] = crow[int(rng.integers(0, nr))]
+        bulk = _bulk_dist(crow, rsizes, size1, kmer, False)
+        max_dist = float(rng.choice([0.05, 0.3, 1.0]))
+        n_top = int(rng.choice([1, 3, 7]))
+
+        got = _topn_heap(crow, bulk, [f"r{j}" for j in range(nr)], rsizes,
+                         size1, kmer, max_dist, _jaccard_mash, n_top)
+
+        want: StdPriorityQueue = StdPriorityQueue(
+            lambda a, b: a.dist < b.dist)
+        for j in range(nr):
+            jorc, d = _jaccard_mash(int(crow[j]), int(rsizes[j]), size1,
+                                    kmer)
+            if d <= max_dist:
+                nb = _Neighbor(f"r{j}", int(crow[j]), int(rsizes[j]),
+                               jorc, d)
+                if len(want) < n_top:
+                    want.push(nb)
+                elif d < want.top().dist:
+                    want.push(nb)
+                    want.pop()
+        got_rows = []
+        while len(got):
+            got_rows.append(got.pop())
+        want_rows = []
+        while len(want):
+            want_rows.append(want.pop())
+        assert got_rows == want_rows, f"trial {trial}"
