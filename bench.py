@@ -182,6 +182,28 @@ def run_reference(list_path: str, shuf: str) -> tuple[float, str] | None:
     return wall, out
 
 
+def run_reference_t1(list_path: str, shuf: str) -> str | None:
+    """Cached output of a DETERMINISTIC -t 1 reference run (not timed).
+
+    With one thread the reference's size-sort tie-breaks and row order
+    are reproducible, so strict (sorted-)row equality is well-defined;
+    the multi-thread run above stays the wall-clock baseline.
+    """
+    root = os.path.dirname(list_path)
+    out = os.path.join(root, "ref_t1.alldist")
+    if os.path.exists(out):
+        return out
+    ref = ensure_ref_binary()
+    if ref is None:
+        return None
+    subprocess.run(
+        [ref, "alldist", "-i", "bacteria.list", "-L", shuf,
+         "-o", os.path.basename(out), "-D", str(MAX_DIST), "-t", "1"],
+        check=True, capture_output=True, cwd=root,
+    )
+    return out
+
+
 # --------------------------------------------------------------------------
 # ours
 # --------------------------------------------------------------------------
@@ -240,11 +262,14 @@ def main() -> int:
 
     vs = None
     if baseline is not None:
-        ref_wall, ref_out = baseline
-        same = rows(ours_out) == rows(ref_out)
-        log(f"strict row equality vs reference: {same}")
-        if not same:
-            canon = canonical_rows(ours_out) == canonical_rows(ref_out)
+        ref_wall, _ = baseline
+        # strict check against the deterministic -t 1 reference output
+        # (multi-thread runs tie-break the size sort arbitrarily)
+        t1_out = run_reference_t1(list_path, shuf_path)
+        same = t1_out is not None and rows(ours_out) == rows(t1_out)
+        log(f"strict row equality vs -t 1 reference: {same}")
+        if not same and t1_out is not None:
+            canon = canonical_rows(ours_out) == canonical_rows(t1_out)
             log(f"canonical (orientation-insensitive) equality: {canon}")
             if not canon:
                 log("WARNING: output rows differ from the reference!")

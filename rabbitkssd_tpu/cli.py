@@ -191,13 +191,13 @@ def cmd_alldist(args) -> int:
     if args.maxDist < 0.0:
         _eprint("ERROR: alldist, maxDist must be > 0")
         return 1
-    sk, _ = _load_or_sketch(args.input, args.shuf_file, False,
-                            args.leastQuality, args.leastNumKmer,
-                            build_index_if_missing=True,
-                            threads=args.threads)
+    sk, sketch_out = _load_or_sketch(args.input, args.shuf_file, False,
+                                     args.leastQuality, args.leastNumKmer,
+                                     build_index_if_missing=True,
+                                     threads=args.threads)
     with phase("index_tridist distance computing"):
         run_alldist(sk, args.output, max_dist=args.maxDist,
-                    containment=bool(args.metric))
+                    containment=bool(args.metric), index_path=sketch_out)
     return 0
 
 
@@ -208,10 +208,10 @@ def cmd_dist(args) -> int:
     if args.maxDist < 0.0:
         _eprint("ERROR: dist, maxDist must be > 0")
         return 1
-    ref, _ = _load_or_sketch(args.reference, args.shuf_file, False,
-                             args.leastQuality, args.leastNumKmer,
-                             build_index_if_missing=True,
-                             threads=args.threads)
+    ref, ref_out = _load_or_sketch(args.reference, args.shuf_file, False,
+                                   args.leastQuality, args.leastNumKmer,
+                                   build_index_if_missing=True,
+                                   threads=args.threads)
     query, _ = _load_or_sketch(args.query, args.shuf_file, True,
                                args.leastQuality, args.leastNumKmer,
                                build_index_if_missing=False,
@@ -227,7 +227,8 @@ def cmd_dist(args) -> int:
     with phase("index_dist distance computing"):
         run_dist(ref, query, args.output, max_dist=args.maxDist,
                  containment=bool(args.metric),
-                 max_neighbor=args.neighborN_max or 0)
+                 max_neighbor=args.neighborN_max or 0,
+                 ref_index_path=ref_out)
     return 0
 
 

@@ -285,6 +285,91 @@ def _counts(hashes0, hashes1):
     return common_counts(hashes0, hashes1)
 
 
+class _CsrIndex:
+    """A loaded ``.index``/``.dict`` inverted index, flattened to
+    column-major (genome, column) membership pairs.
+
+    Consuming the persisted index (reference dist.cpp:83-130) skips the
+    ref-side vocabulary rebuild (np.unique over every hash) on repeat
+    distance runs; tiles are genome-range filters of the global pair
+    list, then remapped onto the tile's shared-column vocabulary and fed
+    to the same chunked MXU matmul loop as the recompute path.
+    """
+
+    def __init__(self, vocab, offsets, postings):
+        self.vocab = vocab
+        self.cols = np.repeat(
+            np.arange(len(vocab), dtype=np.int64), np.diff(offsets)
+        )
+        self.gids = postings.astype(np.int64)
+
+    def side_pairs(self, j0: int, j1: int):
+        """Pairs for genomes [j0, j1) (cols stay globally sorted)."""
+        m = (self.gids >= j0) & (self.gids < j1)
+        return (self.gids[m] - j0).astype(np.int32), self.cols[m]
+
+    def query_pairs(self, q_hashes: list[np.ndarray]):
+        """Membership pairs of query hash arrays against the index vocab."""
+        from ..ops.distance import _memberships
+
+        return _memberships(q_hashes, self.vocab)
+
+    @staticmethod
+    def counts(pairs0, pairs1, n0: int, n1: int) -> np.ndarray:
+        """Tile counts over the two sides' shared columns."""
+        from ..ops.distance import pair_counts
+
+        g0, c0 = pairs0
+        g1, c1 = pairs1
+        shared = np.intersect1d(np.unique(c0), np.unique(c1))
+        if shared.size == 0:
+            return np.zeros((n0, n1), np.int32)
+
+        def remap(g, c):
+            idx = np.searchsorted(shared, c)
+            idx = np.minimum(idx, shared.size - 1)
+            m = shared[idx] == c
+            return g[m], idx[m]
+
+        g0, c0 = remap(g0, c0)
+        g1, c1 = remap(g1, c1)
+        return pair_counts(g0, c0, g1, c1, n0, n1, shared.size)
+
+
+def _load_csr(sketch_path: str | None, use64: bool,
+              payload_nnz: int = 0) -> _CsrIndex | None:
+    """Load the persisted index for single-device runs (the sharded
+    mesh path keeps its own vocabulary partitioning).
+
+    KSSD_USE_INDEX: ``0`` never, ``1`` always, unset = auto.  Auto
+    consumes the index unless it is a 32-bit DENSE index (one slot per
+    hash in the 16^(half_k-drlevel) space, reference sketch.cpp:971)
+    far larger than the actual posting payload — scanning a 1 GiB
+    counts array to save a sort over a few-MB sketch loses; the
+    sparse 64-bit index is always proportional to the data.
+    """
+    mode = os.environ.get("KSSD_USE_INDEX", "auto")
+    if sketch_path is None or mode == "0":
+        return None
+    import jax
+
+    if len(jax.devices()) > 1:
+        return None
+    if mode != "1" and not use64:
+        try:
+            index_bytes = os.path.getsize(sketch_path + ".index")
+        except OSError:
+            return None
+        if index_bytes > max(1 << 26, 32 * payload_nnz):
+            return None
+    from ..formats import read_index_csr
+
+    got = read_index_csr(sketch_path, use64)
+    if got is None:
+        return None
+    return _CsrIndex(*got)
+
+
 def _auto_block(n: int) -> int:
     """Genome-axis block size bounding device memory.
 
@@ -317,7 +402,7 @@ def _tile_counts(common_blk: np.ndarray, hashes, i0: int, bi: int,
 
 
 def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
-                containment: bool) -> None:
+                containment: bool, index_path: str | None = None) -> None:
     """command_alldist engine (reference subCommand.cpp:149-200).
 
     Beyond one block the computation tiles BOTH genome axes: row-block
@@ -325,14 +410,25 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
     tile-by-tile into a host [B, n] strip, then its rows emit before
     the next strip — neither an NxN counts matrix nor any [N, chunk]
     membership ever materializes (the 100k-genome config 5).
+
+    index_path: a ``.sketch`` path whose ``.index``/``.dict`` exist —
+    counting then consumes the persisted inverted index (both tile
+    sides are genome-range filters of its posting lists; reference
+    dist.cpp:83-130) instead of rebuilding membership from raw hashes.
     """
     hashes = [s.hashes for s in sk.sketches]
     kmer_size = 2 * sk.info.half_k
     names = [s.name for s in sk.sketches]
     n = len(hashes)
     block = _auto_block(n)
+    csr = _load_csr(index_path, sk.use64,
+                    payload_nnz=int(sum(h.size for h in hashes)))
     if n <= block:
-        common = _counts(hashes, None)
+        if csr is not None:
+            pairs = csr.side_pairs(0, n)
+            common = csr.counts(pairs, pairs, n, n)
+        else:
+            common = _counts(hashes, None)
         rows = alldist_rows(sk, common, kmer_size, max_dist, containment)
         _write_rows(rows, names, output_file)
         return
@@ -349,7 +445,14 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
             # emission reads columns j > i >= i0 only, so tiles with
             # J < I are never needed: strictly upper-triangle work
             common_blk = np.zeros((bi, n), np.int32)
-            _tile_counts(common_blk, hashes, i0, bi, i0, n, block)
+            if csr is not None:
+                row_pairs = csr.side_pairs(i0, i0 + bi)
+                for j0 in range(i0, n, block):
+                    j1 = min(n, j0 + block)
+                    common_blk[:, j0:j1] = csr.counts(
+                        row_pairs, csr.side_pairs(j0, j1), bi, j1 - j0)
+            else:
+                _tile_counts(common_blk, hashes, i0, bi, i0, n, block)
             yield from _alldist_block_rows(names, sizes, common_blk, i0,
                                            kmer_size, max_dist,
                                            containment, step)
@@ -358,20 +461,41 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
 
 
 def run_dist(ref: SketchSet, query: SketchSet, output_file: str,
-             max_dist: float, containment: bool, max_neighbor: int = 0
-             ) -> None:
+             max_dist: float, containment: bool, max_neighbor: int = 0,
+             ref_index_path: str | None = None) -> None:
     """command_dist engine (reference subCommand.cpp:203-305).
 
     Blocked over both the query and reference axes like
     :func:`run_alldist` (full-width reference strips per query block,
-    since every query row emits against all references)."""
+    since every query row emits against all references).
+
+    ref_index_path: the reference-side ``.sketch`` whose persisted
+    ``.index``/``.dict`` should be consumed for counting (reference
+    dist.cpp:442-523) instead of recomputing ref membership."""
     qh = [s.hashes for s in query.sketches]
     rh = [s.hashes for s in ref.sketches]
     kmer_size = 2 * ref.info.half_k
     nq, nr = len(qh), len(rh)
     block = _auto_block(max(nq, nr))
+    csr = _load_csr(ref_index_path, ref.use64,
+                    payload_nnz=int(sum(h.size for h in rh)))
+
+    def blk_counts(common_blk, q0, bq):
+        if csr is not None:
+            q_pairs = csr.query_pairs(qh[q0 : q0 + bq])
+            for j0 in range(0, nr, block):
+                j1 = min(nr, j0 + block)
+                common_blk[:, j0:j1] = csr.counts(
+                    q_pairs, csr.side_pairs(j0, j1), bq, j1 - j0)
+        else:
+            _tile_counts(common_blk, qh, q0, bq, 0, nr, block)
+
     if nq <= block and nr <= block:
-        common = _counts(qh, rh)
+        if csr is not None:
+            common = np.zeros((nq, nr), np.int32)
+            blk_counts(common, 0, nq)
+        else:
+            common = _counts(qh, rh)
         rows = dist_rows(ref, query, common, kmer_size, max_dist,
                          containment, max_neighbor)
         _write_rows(rows, [s.name for s in query.sketches], output_file)
@@ -381,7 +505,7 @@ def run_dist(ref: SketchSet, query: SketchSet, output_file: str,
         for q0 in range(0, nq, block):
             bq = min(block, nq - q0)
             common_blk = np.zeros((bq, nr), np.int32)
-            _tile_counts(common_blk, qh, q0, bq, 0, nr, block)
+            blk_counts(common_blk, q0, bq)
             sub = SketchSet(info=query.info,
                             sketches=query.sketches[q0 : q0 + bq])
             yield from dist_rows(ref, sub, common_blk, kmer_size,

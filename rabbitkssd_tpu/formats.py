@@ -249,6 +249,59 @@ def read_index(dict_path: str, index_path: str, use64: bool):
     return counts, postings, hashes
 
 
+def read_index_csr(sketch_path: str, use64: bool):
+    """Load ``<sketch>.index``/``.dict`` as a normalized CSR over the
+    OCCUPIED vocabulary: (vocab sorted ascending, offsets int64[nv+1],
+    postings uint32).  Returns None if either file is missing.
+
+    This is the read-side of the reference's distance entry
+    (/root/reference/src/dist.cpp:83-130, 442-523): distance consumes a
+    previously built inverted index instead of recomputing membership
+    from the raw sketches.  Normalizations beyond the reference:
+
+    * 32-bit dense indexes drop empty hash slots (vocab = hash ids with
+      a non-empty posting list) — posting offsets are rebuilt over the
+      occupied slots only;
+    * 64-bit sparse indexes may arrive in the reference's hash-map
+      iteration order; vocab is sorted and posting segments reordered.
+    """
+    index_path, dict_path = sketch_path + ".index", sketch_path + ".dict"
+    if not (os.path.exists(index_path) and os.path.exists(dict_path)):
+        return None
+    counts, postings, hashes = read_index(dict_path, index_path, use64)
+    if use64:
+        vocab = hashes
+        seg_counts = counts.astype(np.int64)
+        if vocab.size > 1 and np.any(np.diff(vocab.view(np.uint64)) < 1):
+            order = np.argsort(vocab, kind="stable")
+            ends = np.cumsum(seg_counts)
+            starts = ends - seg_counts
+            new_postings = np.empty_like(postings)
+            pos = 0
+            # gather posting segments into sorted-vocab order
+            new_counts = seg_counts[order]
+            for oi in order:
+                n = int(seg_counts[oi])
+                new_postings[pos : pos + n] = postings[starts[oi] : ends[oi]]
+                pos += n
+            vocab = vocab[order]
+            seg_counts = new_counts
+            postings = new_postings
+        vocab = vocab.astype(np.uint64)
+    else:
+        occupied = np.nonzero(counts)[0]
+        seg_counts = counts[occupied].astype(np.int64)
+        vocab = occupied.astype(np.uint32)
+    offsets = np.zeros(len(vocab) + 1, np.int64)
+    np.cumsum(seg_counts, out=offsets[1:])
+    if offsets[-1] != postings.size:
+        raise IOError(
+            f"index/dict size mismatch for {sketch_path}: "
+            f"{offsets[-1]} postings expected, {postings.size} found"
+        )
+    return vocab, offsets, postings
+
+
 # --------------------------------------------------------------------------
 # Kssd-compatible directory format (convert)
 # --------------------------------------------------------------------------

@@ -21,6 +21,7 @@ both sorted — the analogue of the reference's CSR posting lists).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -97,6 +98,105 @@ def _memberships(hash_arrays: list[np.ndarray], vocab: np.ndarray
     return ag[order], ac[order]
 
 
+def _host_join_max() -> int:
+    """Joins at most this many (i, j) pairs are counted on host: below
+    it the device matmul is pure overhead (remote-TPU warmup/compile is
+    minutes, a 4M-element np.add.at is ~0.1 s); above it the MXU wins."""
+    return int(os.environ.get("KSSD_HOST_JOIN_MAX", 1 << 22))
+
+
+def _join_layout(c0, c1):
+    """Per-shared-column run lengths of two column-sorted pair lists.
+
+    Returns (u, s0, k0, s1, k1, total): shared column values, each
+    side's run start/length per shared column, and the join size
+    sum(k0*k1) — the number of (i, j) increments a full expansion costs.
+    """
+    u0, s0_, k0_ = np.unique(c0, return_index=True, return_counts=True)
+    u1, s1_, k1_ = np.unique(c1, return_index=True, return_counts=True)
+    u, i0, i1 = np.intersect1d(u0, u1, assume_unique=True,
+                               return_indices=True)
+    s0, k0 = s0_[i0], k0_[i0]
+    s1, k1 = s1_[i1], k1_[i1]
+    return u, s0, k0, s1, k1, int(np.sum(k0 * k1, dtype=np.int64))
+
+
+def _pair_counts_host(g0, c0, g1, c1, n0: int, n1: int) -> np.ndarray:
+    """Exact host-side counting: expand the column join and accumulate.
+
+    The numpy analogue of the reference's posting-list walk
+    (dist.cpp:193-204) — used when the join is small enough that device
+    dispatch overhead dominates."""
+    out = np.zeros((n0, n1), np.int32)
+    _, s0, k0, s1, k1, total = _join_layout(c0, c1)
+    if total == 0:
+        return out
+    tot = (k0 * k1).astype(np.int64)
+    col_of = np.repeat(np.arange(len(tot)), tot)
+    starts = np.zeros(len(tot), np.int64)
+    np.cumsum(tot[:-1], out=starts[1:])
+    within = np.arange(total, dtype=np.int64) - starts[col_of]
+    ii = g0[s0[col_of] + within // k1[col_of]]
+    jj = g1[s1[col_of] + within % k1[col_of]]
+    np.add.at(out, (ii, jj), 1)
+    return out
+
+
+def pair_counts(g0, c0, g1, c1, n0: int, n1: int, n_vocab: int,
+                chunk: int = MAX_CHUNK, symmetric: bool = False
+                ) -> np.ndarray:
+    """Intersection counts from (genome, column) membership pairs.
+
+    Pairs must be column-major sorted (ascending ``c``).  The chunked
+    device loop shared by :func:`common_counts` (pairs from per-genome
+    hash arrays) and the index-fed path (pairs straight from a read
+    ``.index``/``.dict`` CSR, reference dist.cpp:83-130).  Joins small
+    enough that device overhead dominates run on host instead.
+    """
+    from . import _config
+
+    out = np.zeros((n0, n1), np.int32)
+    if n_vocab == 0 or len(c0) == 0 or len(c1) == 0:
+        return out
+    host_max = _host_join_max()
+    if min(len(c0), len(c1)) * 64 <= host_max:
+        # cheap screen before the exact join-size count
+        _, _, _, _, _, total = _join_layout(c0, c1)
+        if total <= host_max:
+            return _pair_counts_host(g0, c0, g1, c1, n0, n1)
+
+    _config.start_warm()
+
+    # bucket every jit-visible dimension (remote compiles cost minutes):
+    # genome counts to multiples of 128, vocab width to powers of two
+    def _r128(n):
+        return -(-n // 128) * 128
+
+    n0p, n1p = _r128(n0), _r128(n1)
+    n_chunks = -(-n_vocab // chunk)
+    width = chunk
+    if n_chunks == 1:
+        width = 1024
+        while width < n_vocab:
+            width <<= 1
+        width = min(width, chunk)
+    acc = jnp.zeros((n0p, n1p), jnp.int32)
+    for ci in range(n_chunks):
+        lo, hi = ci * chunk, min(n_vocab, (ci + 1) * chunk)
+        s0 = slice(*np.searchsorted(c0, [lo, hi]))
+        s1 = slice(*np.searchsorted(c1, [lo, hi])) if not symmetric else s0
+        pg0, pc0 = _pad_pairs(g0[s0], c0[s0] - lo, width)
+        if symmetric:
+            pg1, pc1 = pg0, pc0
+        else:
+            pg1, pc1 = _pad_pairs(g1[s1], c1[s1] - lo, width)
+        acc = _common_chunk_acc(acc, pg0, pc0, pg1, pc1, n_cols=width)
+    from .hostxfer import read_array
+
+    out[:] = read_array(acc)[:n0, :n1]
+    return out
+
+
 def common_counts(hashes0: list[np.ndarray], hashes1: list[np.ndarray] | None,
                   chunk: int = MAX_CHUNK) -> np.ndarray:
     """Exact pairwise intersection-count matrix via chunked MXU matmuls.
@@ -107,9 +207,6 @@ def common_counts(hashes0: list[np.ndarray], hashes1: list[np.ndarray] | None,
     contribute off-diagonal, mirroring what the reference's posting lists
     count, dist.cpp:193-204).  Returns int32 [n0, n1] (or [n0, n0]).
     """
-    from . import _config
-
-    _config.start_warm()
     symmetric = hashes1 is None
     if symmetric:
         allh = (np.concatenate(hashes0) if hashes0 else np.empty(0, np.uint64))
@@ -123,45 +220,14 @@ def common_counts(hashes0: list[np.ndarray], hashes1: list[np.ndarray] | None,
         vocab = np.intersect1d(v0, v1)
 
     n0, n1 = len(hashes0), len(hashes1)
-    out = np.zeros((n0, n1), np.int32)
-    if len(vocab) == 0:
-        if symmetric:
-            np.fill_diagonal(out, [h.size for h in hashes0])
-        return out
-
     g0, c0 = _memberships(hashes0, vocab)
     if symmetric:
         g1, c1 = g0, c0
     else:
         g1, c1 = _memberships(hashes1, vocab)
 
-    # bucket every jit-visible dimension (remote compiles cost minutes):
-    # genome counts to multiples of 128, vocab width to powers of two
-    def _r128(n):
-        return -(-n // 128) * 128
-
-    n0p, n1p = _r128(n0), _r128(n1)
-    n_chunks = -(-len(vocab) // chunk)
-    width = chunk
-    if n_chunks == 1:
-        width = 1024
-        while width < len(vocab):
-            width <<= 1
-        width = min(width, chunk)
-    acc = jnp.zeros((n0p, n1p), jnp.int32)
-    for ci in range(n_chunks):
-        lo, hi = ci * chunk, min(len(vocab), (ci + 1) * chunk)
-        s0 = slice(*np.searchsorted(c0, [lo, hi]))
-        s1 = slice(*np.searchsorted(c1, [lo, hi])) if not symmetric else s0
-        pg0, pc0 = _pad_pairs(g0[s0], c0[s0] - lo, width)
-        if symmetric:
-            pg1, pc1 = pg0, pc0
-        else:
-            pg1, pc1 = _pad_pairs(g1[s1], c1[s1] - lo, width)
-        acc = _common_chunk_acc(acc, pg0, pc0, pg1, pc1, n_cols=width)
-    from .hostxfer import read_array
-
-    out[:] = read_array(acc)[:n0, :n1]
+    out = pair_counts(g0, c0, g1, c1, n0, n1, len(vocab), chunk,
+                      symmetric=symmetric)
     if symmetric:
         # the >=2-genome vocab filter drops singleton self-counts; the
         # diagonal is by definition the sketch size

@@ -212,6 +212,8 @@ def sharded_common_counts(hashes0: list[np.ndarray],
 
     out = read_array(step(G0, C0, G1, C1))[:n0]
     if symmetric:
-        # the >=2-genome vocab filter drops singleton self-counts
+        # the >=2-genome vocab filter drops singleton self-counts;
+        # read_array may hand back a read-only device view -> copy
+        out = np.array(out)
         np.fill_diagonal(out, [h.size for h in hashes0])
     return out

@@ -212,3 +212,102 @@ def test_topn_matches_scalar_reference(rng):
         while len(want):
             want_rows.append(want.pop())
         assert got_rows == want_rows, f"trial {trial}"
+
+
+# --------------------------------------------------------------------------
+# distance consuming the persisted .index/.dict (reference dist.cpp:83-130)
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "stem,kw",
+    [
+        ("fa_k5s4l1", dict(max_dist=1.0, containment=False)),   # 32-bit dense
+        ("fa_k10s4l1", dict(max_dist=0.5, containment=False)),  # 64-bit sparse
+    ],
+)
+def test_alldist_from_reference_built_index(tmp_path, stem, kw):
+    """alldist fed by the index the REFERENCE BINARY wrote (including
+    the 64-bit robin_hood iteration order) matches the golden text."""
+    sketch = os.path.join(GOLDEN, f"{stem}.sketch")
+    sk = read_sketches(sketch)
+    out = str(tmp_path / "idx.dist")
+    run_alldist(sk, out, index_path=sketch, **kw)
+    got_h, got = _sorted_rows(out)
+    want_h, want = _sorted_rows(os.path.join(GOLDEN, f"{stem}.alldist"))
+    assert got_h == want_h
+    assert got == want
+
+
+def test_alldist_index_path_used(tmp_path, monkeypatch):
+    """The CSR path must actually consume the index files: corrupting
+    the .dict must change the result (guards against a silent fallback
+    to recompute-from-sketch)."""
+    import shutil
+
+    src = os.path.join(GOLDEN, "fa_k5s4l1.sketch")
+    sketch = str(tmp_path / "c.sketch")
+    shutil.copy(src, sketch)
+    shutil.copy(src + ".index", sketch + ".index")
+    post = np.fromfile(src + ".dict", dtype="<u4")
+    post[:] = post[0]  # all postings point at genome 0
+    post.tofile(sketch + ".dict")
+    sk = read_sketches(sketch)
+    out = str(tmp_path / "bad.dist")
+    run_alldist(sk, out, max_dist=1.0, containment=False, index_path=sketch)
+    _, got = _sorted_rows(out)
+    _, want = _sorted_rows(os.path.join(GOLDEN, "fa_k5s4l1.alldist"))
+    assert got != want
+
+
+def test_dist_from_index_matches_golden(tmp_path):
+    """ref-vs-query (incl. top-N) counting from a persisted ref index."""
+    import shutil
+
+    from rabbitkssd_tpu.formats import write_index
+
+    ref_sketch = str(tmp_path / "ref.sketch")
+    shutil.copy(os.path.join(GOLDEN, "fa_k8s4l1.sketch"), ref_sketch)
+    ref = read_sketches(ref_sketch)
+    write_index(ref, ref_sketch + ".dict", ref_sketch + ".index")
+    query = read_sketches(os.path.join(GOLDEN, "faq_k8s4l1.sketch"))
+    for golden, n_top in (("fa_k8s4l1.dist", 0), ("fa_k8s4l1.distN2", 2)):
+        out = str(tmp_path / f"q{n_top}.dist")
+        run_dist(ref, query, out, max_dist=1.0, containment=False,
+                 max_neighbor=n_top, ref_index_path=ref_sketch)
+        with open(out) as f:
+            got = sorted(f.readlines()[1:])
+        with open(os.path.join(GOLDEN, golden)) as f:
+            want = sorted(f.readlines()[1:])
+        assert got == want, golden
+
+
+def test_alldist_from_index_blocked(tmp_path, monkeypatch):
+    """Index-fed counting composes with two-axis tiling."""
+    import dataclasses
+    import shutil
+
+    from rabbitkssd_tpu.formats import save_sketches, write_index
+
+    monkeypatch.setenv("KSSD_DIST_BLOCK", "128")
+    sk = read_sketches(os.path.join(GOLDEN, "fa_k8s4l1.sketch"))
+    reps = []
+    for r in range(40):
+        for s in sk.sketches:
+            reps.append(dataclasses.replace(s, name=f"{s.name}#{r}"))
+    big = dataclasses.replace(sk, sketches=reps)
+    sketch = str(tmp_path / "big.sketch")
+    save_sketches(big, sketch)
+    write_index(big, sketch + ".dict", sketch + ".index")
+    out = str(tmp_path / "idx.dist")
+    # force: k8's dense index dwarfs this payload, auto would skip it
+    monkeypatch.setenv("KSSD_USE_INDEX", "1")
+    run_alldist(big, out, max_dist=0.6, containment=False,
+                index_path=sketch)
+    got_h, got = _sorted_rows(out)
+    monkeypatch.setenv("KSSD_USE_INDEX", "0")
+    out2 = str(tmp_path / "re.dist")
+    run_alldist(big, out2, max_dist=0.6, containment=False,
+                index_path=sketch)
+    want_h, want = _sorted_rows(out2)
+    assert got_h == want_h
+    assert got == want
