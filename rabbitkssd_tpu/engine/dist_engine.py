@@ -99,30 +99,82 @@ def _bulk_dist(common_row: np.ndarray, size0, size1, kmer_size: int,
 _EPS = 1e-9
 
 
+def _candidate_mask(cblk: np.ndarray, s0, s1, kmer_size: int,
+                    max_dist: float, containment: bool,
+                    strict: bool = True) -> np.ndarray:
+    """Vectorized candidate SUPERSET of ``dist {<,<=} max_dist``.
+
+    mashD/aafD are strictly decreasing in jaccard/containment, so the
+    float test inverts to one integer-count comparison per pair — no
+    logs on the hot prefilter (surviving candidates are recomputed with
+    the exact scalar libm semantics before emission):
+
+      mash: d < D  <=>  j > jt,  jt = e^{-kD} / (2 - e^{-kD})
+            c/(s0+s1-c) > jt     <=>  c*(1+jt) > jt*(s0+s1)
+      aaf:  c/min(s0,s1) > e^{-kD}
+
+    jt is slackened low so boundary/ulp cases stay in the superset.
+    The ``j == 0 -> d := 1.0`` special case (dist.cpp:227-231) breaks
+    monotonicity: zero-count pairs emit iff ``1.0 {<,<=} max_dist``
+    (exact f64, no slack needed — d is exactly 1.0 by construction;
+    ``strict`` selects alldist's ``<`` vs dist's ``<=``, dist.cpp:232
+    vs :624).
+    """
+    ekd = math.exp(-kmer_size * max_dist) * (1.0 - 1e-9)
+    c = cblk.astype(np.float64)
+    if containment:
+        mask = c >= ekd * np.minimum(s0, s1)
+    else:
+        jt = ekd / (2.0 - ekd)
+        mask = c * (1.0 + jt) >= jt * (s0 + s1)
+    if (1.0 < max_dist) if strict else (1.0 <= max_dist):
+        mask |= cblk == 0
+    return mask
+
+
 def _alldist_block_rows(names, sizes, common_blk: np.ndarray, i0: int,
                         kmer_size: int, max_dist: float,
                         containment: bool, step: int):
     """Upper-triangle rows for global genomes [i0, i0+R) given their
-    count rows vs ALL genomes (common_blk [R, n])."""
+    count rows vs ALL genomes (common_blk [R, n]).
+
+    The ``< maxDist`` prefilter is vectorized over the whole strip in
+    column chunks (a per-row loop costs minutes at 100k genomes);
+    surviving candidates are recomputed with the exact scalar libm
+    semantics in emission order (i-major, j ascending — np.nonzero's
+    row-major order)."""
     n = len(names)
+    R = common_blk.shape[0]
     f = _containment_aaf if containment else _jaccard_mash
-    for bi in range(common_blk.shape[0]):
-        i = i0 + bi
-        if i % step == 0:
-            print(f"=====finish: {i}", file=sys.stderr)
-        if i + 1 >= n:
-            continue
-        crow = common_blk[bi, i + 1 :]
-        bulk = _bulk_dist(crow, sizes[i], sizes[i + 1 :], kmer_size,
-                          containment)
-        cand = np.nonzero(bulk < max_dist + _EPS)[0]
-        for dj in cand:
-            j = i + 1 + int(dj)
-            jorc, d = f(int(crow[int(dj)]), int(sizes[i]), int(sizes[j]),
-                        kmer_size)
+    for bi in range(R):
+        if (i0 + bi) % step == 0:
+            print(f"=====finish: {i0 + bi}", file=sys.stderr)
+    include_zero = 1.0 < max_dist  # j==0 -> d := 1.0 emits iff 1.0 < D
+    width = max(1, (1 << 24) // max(R, 1))  # bound chunk temps to ~128MB
+    for j0 in range(i0 + 1, n, width):
+        j1 = min(n, j0 + width)
+        cblk = common_blk[:, j0:j1]
+        if include_zero:
+            bi_nz, dj_nz = np.nonzero(
+                (j0 + np.arange(j1 - j0)[None, :]) > i0 + np.arange(R)[:, None]
+            )
+        else:
+            # candidates need common > 0: gather the sparse entries only
+            bi_nz, dj_nz = np.nonzero(cblk)
+            tri = (j0 + dj_nz) > (i0 + bi_nz)
+            bi_nz, dj_nz = bi_nz[tri], dj_nz[tri]
+        vals = cblk[bi_nz, dj_nz]
+        s0v = sizes[i0 + bi_nz]
+        s1v = sizes[j0 + dj_nz]
+        sel = _candidate_mask(vals, s0v, s1v, kmer_size, max_dist,
+                              containment, strict=True)
+        for bi, dj, c in zip(bi_nz[sel], dj_nz[sel], vals[sel]):
+            i = i0 + int(bi)
+            j = j0 + int(dj)
+            jorc, d = f(int(c), int(sizes[i]), int(sizes[j]), kmer_size)
             if d < max_dist:
                 yield (
-                    f"{names[j]}\t{names[i]}\t{int(crow[int(dj)])}|"
+                    f"{names[j]}\t{names[i]}\t{int(c)}|"
                     f"{int(sizes[i])}|{int(sizes[j])}\t{_d6(jorc)}\t{_d6(d)}\n"
                 )
 
@@ -222,8 +274,8 @@ def dist_rows(ref: SketchSet, query: SketchSet, common: np.ndarray,
             print(f"=====finish: {progress_offset + i}", file=sys.stderr)
         size1 = int(qsizes[i])
         crow = common[i]
-        bulk = _bulk_dist(crow, rsizes, size1, kmer_size, containment)
         if is_neighbor:
+            bulk = _bulk_dist(crow, rsizes, size1, kmer_size, containment)
             queue = _topn_heap(crow, bulk, rnames, rsizes, size1,
                                kmer_size, max_dist, f, max_neighbor)
             while len(queue):
@@ -233,7 +285,9 @@ def dist_rows(ref: SketchSet, query: SketchSet, common: np.ndarray,
                     f"{size1}\t{_d6(t.jorc)}\t{_d6(t.dist)}\n"
                 )
             continue
-        for j in np.nonzero(bulk <= max_dist + _EPS)[0]:
+        cand = _candidate_mask(crow, rsizes, size1, kmer_size, max_dist,
+                               containment, strict=False)
+        for j in np.nonzero(cand)[0]:
             j = int(j)
             c = int(crow[j])
             size0 = int(rsizes[j])
@@ -440,11 +494,13 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
     print(f"=====total: {n}", file=sys.stderr)
 
     def row_gen():
+        strip = np.empty((min(block, n), n), np.int32)  # reused per strip
         for i0 in range(0, n, block):
             bi = min(block, n - i0)
             # emission reads columns j > i >= i0 only, so tiles with
             # J < I are never needed: strictly upper-triangle work
-            common_blk = np.zeros((bi, n), np.int32)
+            common_blk = strip[:bi]
+            common_blk[:] = 0
             if csr is not None:
                 row_pairs = csr.side_pairs(i0, i0 + bi)
                 for j0 in range(i0, n, block):
@@ -502,9 +558,11 @@ def run_dist(ref: SketchSet, query: SketchSet, output_file: str,
         return
 
     def row_gen():
+        strip = np.empty((min(block, nq), nr), np.int32)  # reused
         for q0 in range(0, nq, block):
             bq = min(block, nq - q0)
-            common_blk = np.zeros((bq, nr), np.int32)
+            common_blk = strip[:bq]
+            common_blk[:] = 0
             blk_counts(common_blk, q0, bq)
             sub = SketchSet(info=query.info,
                             sketches=query.sketches[q0 : q0 + bq])

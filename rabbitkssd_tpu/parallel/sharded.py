@@ -163,12 +163,27 @@ def sharded_common_counts(hashes0: list[np.ndarray],
             np.fill_diagonal(out, [h.size for h in hashes0])
         return out
 
+    g0j, c0j = _memberships(hashes0, vocab)
+    g1j, c1j = (g0j, c0j) if symmetric else _memberships(hashes1, vocab)
+    from ..ops.distance import (_host_join_max, _join_layout,
+                                _pair_counts_host)
+
+    host_max = _host_join_max()
+    if min(len(c0j), len(c1j)) * 64 <= host_max:
+        # small join: device dispatch is pure overhead, mesh or not
+        _, _, _, _, _, total = _join_layout(c0j, c1j)
+        if total <= host_max:
+            out = _pair_counts_host(g0j, c0j, g1j, c1j, n0, n1)
+            if symmetric:
+                np.fill_diagonal(out, [h.size for h in hashes0])
+            return out
+
     dp, vp = mesh.devices.shape
     rows_per_dp = -(-n0 // dp)
     cols_per_vp = -(-len(vocab) // vp)
 
-    g0, c0 = _memberships(hashes0, vocab)
-    g1, c1 = _memberships(hashes1, vocab) if not symmetric else (g0, c0)
+    g0, c0 = g0j, c0j
+    g1, c1 = g1j, c1j
 
     def split_pairs(g, c, split_rows: bool):
         """Partition pairs into the [dp?, vp, cap] padded layout."""
