@@ -407,7 +407,7 @@ def _load_csr(sketch_path: str | None, use64: bool,
         return None
     import jax
 
-    if len(jax.devices()) > 1:
+    if mode != "1" and len(jax.devices()) > 1:
         return None
     if mode != "1" and not use64:
         try:

@@ -47,6 +47,7 @@ from ..ops.kmer import (
     pack_words_np,
     pad_exceptions,
     searchsorted_i32,
+    sortjoin_keep,
 )
 
 
@@ -60,31 +61,42 @@ def aligned_halo(params: KssdParams) -> int:
 def keep_rep_np(shuffled_dim: np.ndarray, dim_end: int) -> np.ndarray:
     """Pick the device representation of the kept-dims set.
 
-    * small sets (<= 8192): 1-D sorted kept array -> compare-all sweep
-    * mid-size sets on TPU (R = ceil(|kept|/128) <= 1024, the drlevel<3
-      configs, e.g. L2K8's 65536 kept dims): 2-D [R, 128] lane table ->
-      Pallas lane-partitioned membership (ops/pallas_member.py)
-    * otherwise: the 1-D array again, which the step treats as the
-      full-table gather fallback
+    The stream step dispatches on this array's (static) shape:
 
-    ``KSSD_KEEP_STRATEGY`` in {auto, member, lane, gather} overrides.
+    * 1-D, <= 8192 entries: sorted kept array -> compare-all sweep
+    * 2-D [R, 128], R >= 8: lane table -> Pallas lane-partitioned
+      membership (ops/pallas_member.py)
+    * 1-D, > 8192 entries: sorted kept array -> sorted-semijoin keep
+      test (ops/kmer.py sortjoin_keep; sub-linear in |kept|)
+    * 2-D [1, 1] marker: full-width permutation-table gather
+
+    auto on TPU: member (<= 8192) / lane (R <= 512, where the VMEM-
+    resident table beats the sort) / sortjoin; elsewhere member /
+    gather (XLA CPU gathers are cheap native loads).
+
+    ``KSSD_KEEP_STRATEGY`` in {auto, member, lane, sort, gather}
+    overrides.
     """
     strategy = os.environ.get("KSSD_KEEP_STRATEGY", "auto")
     kept = kept_dims_np(shuffled_dim, dim_end)
     if strategy == "member":
         return kept
     if strategy == "gather":
-        # > 8192 entries forces the gather branch regardless of content
-        return np.concatenate(
-            [kept, np.full(max(0, 8193 - len(kept)), -1, np.int32)]
-        )
+        return np.zeros((1, 1), np.int32)
+    if strategy == "sort":
+        # force > 8192 so the shape dispatch picks the semijoin branch
+        pad = max(0, 8193 - len(kept))
+        return np.concatenate([kept, np.full(pad, -1, np.int32)])
     if strategy == "lane" or (kept.shape[0] > 8192
                               and jax.default_backend() == "tpu"):
         from ..ops.pallas_member import lane_table_np
 
         lt = lane_table_np(shuffled_dim, dim_end)
-        if strategy == "lane" or lt.shape[0] <= 1024:
+        if strategy == "lane" or lt.shape[0] <= 512:
             return lt
+        return kept  # > 8192 on TPU -> sortjoin branch
+    if kept.shape[0] > 8192:
+        return np.zeros((1, 1), np.int32)  # CPU large sets -> gather
     return kept
 
 
@@ -148,43 +160,58 @@ def _stream_step_body(params: KssdParams, cap: int, buf_cap: int,
                  + jax.lax.broadcasted_iota(jnp.int32, (nb, L), 1) - halo)
         valid = valid & (coord < valid_upto)
         # keep-test strategy (static, from the kept representation's
-        # shape): a 2-D [R, 128] lane table runs the Pallas
-        # lane-partitioned membership kernel (drlevel<3 configs whose
-        # kept sets are too large for compare-all); a small 1-D kept set
-        # uses the gather-free compare-all sweep; both defer the rank
-        # gather + hash composition to the ~16^-drlevel survivors after
-        # compaction.  Large 1-D kept sets fall back to the full-width
-        # permutation-table gather.
-        use_lane = kept.ndim == 2
-        use_member = use_lane or kept.shape[0] <= 8192
+        # shape — see keep_rep_np): a 2-D [R, 128] lane table runs the
+        # Pallas lane-partitioned membership kernel; a small 1-D kept
+        # set uses the gather-free compare-all sweep; a large 1-D kept
+        # set uses the sorted-semijoin keep test (compaction then runs
+        # in sorted space); all three defer the rank gather + hash
+        # composition to the ~16^-drlevel survivors after compaction.
+        # A 2-D [1, 1] marker selects the full-width permutation-table
+        # gather fallback.
+        use_gather = kept.ndim == 2 and kept.shape[0] == 1
+        use_lane = kept.ndim == 2 and not use_gather
+        use_sort = kept.ndim == 1 and kept.shape[0] > 8192
+        use_member = not use_gather
+        sorted_space = None
         if use_member:
             uni_lo, uni_hi, dim_id, ok = hasher.windows(words, valid)
-            if use_lane:
-                from ..ops.pallas_member import member_lane
-
-                hit = member_lane(dim_id, kept,
-                                  interpret=jax.default_backend() != "tpu")
-            else:
-                hit = member_kept(dim_id, kept)
-            keep = ok & hit
             uni_lo = uni_lo[:, halo:].ravel()
             uni_hi = uni_hi[:, halo:].ravel()
-            dim_id = dim_id[:, halo:].ravel()
+            if use_sort:
+                okf = ok[:, halo:].ravel()
+                dim_id = dim_id[:, halo:].ravel()
+                key = jnp.where(okf, dim_id.astype(jnp.int32),
+                                jnp.int32(0x7FFFFFFF))
+                sorted_space = sortjoin_keep(key, kept)
+                keep = okf  # only for n/size bookkeeping below
+            else:
+                if use_lane:
+                    from ..ops.pallas_member import member_lane
+
+                    hit = member_lane(
+                        dim_id, kept,
+                        interpret=jax.default_backend() != "tpu")
+                else:
+                    hit = member_kept(dim_id, kept)
+                keep = (ok & hit)[:, halo:].ravel()
+                dim_id = dim_id[:, halo:].ravel()
         else:
             h_lo, h_hi, keep = hasher(words, valid, table)
             h_lo = h_lo[:, halo:].ravel()
             h_hi = h_hi[:, halo:].ravel()
-        keep = keep[:, halo:].ravel()
+            keep = keep[:, halo:].ravel()
         n = keep.size
 
         # survivors are a ~16^-drlevel fraction; at high reduction a
         # two-level compaction (select 32-window groups containing any
         # survivor, then compact only those) replaces the full-length
         # sort-searchsorted with two small ones
-        sparse = (compaction == "auto" and params.drlevel >= 3
-                  and n % 32 == 0)
+        sparse = (sorted_space is None and compaction == "auto"
+                  and params.drlevel >= 3 and n % 32 == 0)
         o_flag = jnp.bool_(False)
-        if sparse:
+        if sorted_space is not None:
+            keep_c, pos_space = sorted_space
+        elif sparse:
             G = n // 32
             g_cap = min(G, max(4096, 4 * (n >> (4 * params.drlevel)) // 32))
             gflag = (keep.reshape(G, 32).sum(axis=1, dtype=jnp.int32) > 0)
@@ -206,13 +233,26 @@ def _stream_step_body(params: KssdParams, cap: int, buf_cap: int,
             keep_c = keep
             pos_space = None
 
-        csum = jnp.cumsum(keep_c.astype(jnp.int32))
-        total = csum[-1]
-        targets = jnp.arange(1, cap + 1, dtype=jnp.int32)
-        pos = searchsorted_i32(csum, targets)
-        pos_c = jnp.minimum(pos, csum.size - 1)
-        if pos_space is not None:
-            pos_c = jnp.take(pos_space, pos_c)
+        if sorted_space is not None:
+            # compaction in sorted space: one single-key sort moves
+            # survivors to the front (cheaper than cumsum +
+            # sort-searchsorted over the n+K sorted slots)
+            total = jnp.sum(keep_c.astype(jnp.int32))
+            _, sp2 = jax.lax.sort(
+                ((~keep_c).astype(jnp.int32), pos_space), num_keys=1,
+                is_stable=True)
+            # beyond-total slots carry non-survivor payloads, which are
+            # negative for kept-dim slots; clamp for the takes below
+            # (never read: new_count advances by wrote = min(total,cap))
+            pos_c = jnp.maximum(sp2[:cap], 0)
+        else:
+            csum = jnp.cumsum(keep_c.astype(jnp.int32))
+            total = csum[-1]
+            targets = jnp.arange(1, cap + 1, dtype=jnp.int32)
+            pos = searchsorted_i32(csum, targets)
+            pos_c = jnp.minimum(pos, csum.size - 1)
+            if pos_space is not None:
+                pos_c = jnp.take(pos_space, pos_c)
         if use_member:
             pf = jnp.take(table, jnp.take(dim_id, pos_c).astype(jnp.int32),
                           axis=0)

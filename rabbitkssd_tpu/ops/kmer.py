@@ -402,6 +402,46 @@ def member_kept(dim_id, kept):
     return hit
 
 
+def sortjoin_keep(key, kept):
+    """Keep test as a sorted semijoin — no random memory access at all.
+
+    The drlevel<3 / use64 configs keep 16^(subk-drlevel) >= 262144 dims,
+    too many for the compare-all sweep (cost ∝ |kept|) or the Pallas
+    lane table (R = |kept|/128 rounds), so round 1 fell back to the flat
+    ~7.5 ns/element XLA table gather (the device wall at config 4).
+    This formulation is sub-linear in |kept|: one stable variadic sort
+    of [kept ++ window keys] followed by a running-max scan ("last kept
+    value seen" — keys ascend, so the rightmost kept value <= me IS the
+    running max), both fully vectorized TPU primitives.  It is the TPU
+    analogue of the reference's single L1 load per k-mer
+    (/root/reference/src/sketch.cpp:519-523) in the same way a sort-
+    merge join replaces a hash join when random access is the wall.
+
+    ``key``: int32[n] window dim_ids with invalid windows pre-masked to
+    0x7FFFFFFF (kept dims are < 16^subk so the sentinel never joins).
+    ``kept``: sorted int32[K] from :func:`kept_dims_np` (-1 padded; keys
+    are >= 0 so pads never match).
+
+    Returns ``(keep_sorted, pos_sorted)`` over the n+K sorted slots:
+    ``keep_sorted[s]`` marks a surviving window and ``pos_sorted[s]``
+    its original flat index (negative for kept-dim slots).  Downstream
+    compaction must run in sorted space and dereference positions via
+    ``pos_sorted`` — survivors' rank gather + hash composition happen
+    after compaction, exactly as in the other membership paths.
+    """
+    n = key.shape[0]
+    K = kept.shape[0]
+    keys = jnp.concatenate([kept.astype(jnp.int32), key.astype(jnp.int32)])
+    # ties: kept (tag 0) sorts before equal-valued windows (tag 1), so
+    # the scan has seen a dim before any window carrying it
+    tags = jnp.concatenate([jnp.zeros(K, jnp.int32), jnp.ones(n, jnp.int32)])
+    pos = jax.lax.broadcasted_iota(jnp.int32, (K + n, 1), 0)[:, 0] - K
+    sk, st, sp = jax.lax.sort((keys, tags, pos), num_keys=2, is_stable=True)
+    seen = jax.lax.cummax(jnp.where(st == 0, sk, jnp.int32(-1)))
+    keep_sorted = (st == 1) & (seen == sk)
+    return keep_sorted, sp
+
+
 def searchsorted_i32(a, v):
     """side='left' searchsorted of sorted int32 ``v`` into sorted int32
     ``a``, entirely in 32-bit (jnp.searchsorted under jax_enable_x64

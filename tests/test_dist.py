@@ -253,6 +253,9 @@ def test_alldist_index_path_used(tmp_path, monkeypatch):
     post.tofile(sketch + ".dict")
     sk = read_sketches(sketch)
     out = str(tmp_path / "bad.dist")
+    # force the CSR path: auto skips it on multi-device backends (the
+    # virtual 8-device CPU mesh) where the sharded matmul path wins
+    monkeypatch.setenv("KSSD_USE_INDEX", "1")
     run_alldist(sk, out, max_dist=1.0, containment=False, index_path=sketch)
     _, got = _sorted_rows(out)
     _, want = _sorted_rows(os.path.join(GOLDEN, "fa_k5s4l1.alldist"))
