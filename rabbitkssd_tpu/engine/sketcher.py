@@ -38,7 +38,7 @@ from ..formats import Sketch, SketchInfo, SketchSet
 from ..params import KssdParams
 from ..seqio import read_records
 from .. import shuffle as shuffle_mod
-from ..ops.hostxfer import read_prefix, read_scalars
+from ..ops.hostxfer import read_prefix, read_prefixes, read_scalars
 from ..ops.kmer import (
     encode_concat,
     hash_windows_stream,
@@ -70,9 +70,11 @@ def keep_rep_np(shuffled_dim: np.ndarray, dim_end: int) -> np.ndarray:
       test (ops/kmer.py sortjoin_keep; sub-linear in |kept|)
     * 2-D [1, 1] marker: full-width permutation-table gather
 
-    auto on TPU: member (<= 8192) / lane (R <= 512, where the VMEM-
-    resident table beats the sort) / sortjoin; elsewhere member /
-    gather (XLA CPU gathers are cheap native loads).
+    auto on TPU: lane for every set with R = ceil(|kept|/128) <= 512
+    (the VMEM-resident lane table beats compare-all even at 4096 kept
+    dims: 1.3 ms vs 8.5 ms per 2M-window batch, measured round 2) /
+    sortjoin beyond; elsewhere member / gather (XLA CPU gathers are
+    cheap native loads, and interpret-mode Pallas is slow).
 
     ``KSSD_KEEP_STRATEGY`` in {auto, member, lane, sort, gather}
     overrides.
@@ -87,14 +89,13 @@ def keep_rep_np(shuffled_dim: np.ndarray, dim_end: int) -> np.ndarray:
         # force > 8192 so the shape dispatch picks the semijoin branch
         pad = max(0, 8193 - len(kept))
         return np.concatenate([kept, np.full(pad, -1, np.int32)])
-    if strategy == "lane" or (kept.shape[0] > 8192
-                              and jax.default_backend() == "tpu"):
+    if strategy == "lane" or jax.default_backend() == "tpu":
         from ..ops.pallas_member import lane_table_np
 
         lt = lane_table_np(shuffled_dim, dim_end)
         if strategy == "lane" or lt.shape[0] <= 512:
             return lt
-        return kept  # > 8192 on TPU -> sortjoin branch
+        return kept  # too many rounds on TPU -> sortjoin branch
     if kept.shape[0] > 8192:
         return np.zeros((1, 1), np.int32)  # CPU large sets -> gather
     return kept
@@ -528,6 +529,50 @@ class WordTapeFeeder:
 # sketcher
 # --------------------------------------------------------------------------
 
+class _AsyncFlusher:
+    """Runs flush jobs on one dedicated thread, strictly in submission
+    order.
+
+    Flush readbacks on tunnel-attached TPUs are latency-bound (~100 ms
+    per relay round trip); running them on this thread lets the main
+    loop keep dispatching stream steps into fresh carry buffers — the
+    device never idles during a flush.  The queue bound caps how many
+    retired buffer windows stay live on device.
+    """
+
+    def __init__(self, fn):
+        import queue
+        import threading
+
+        self._fn = fn
+        self._q: queue.Queue = queue.Queue(maxsize=2)
+        self.error: BaseException | None = None
+        self._t = threading.Thread(target=self._run, daemon=True,
+                                    name="kssd-flush")
+        self._t.start()
+
+    def _run(self):
+        while True:
+            job = self._q.get()
+            if job is None:
+                return
+            if self.error is None:
+                try:
+                    self._fn(*job)
+                except BaseException as e:  # surfaced by the main thread
+                    self.error = e
+
+    def submit(self, *job) -> None:
+        if self.error is not None:
+            raise self.error
+        self._q.put(job)
+
+    def shutdown(self) -> None:
+        """Join the worker; never raises (check .error afterwards)."""
+        self._q.put(None)
+        self._t.join()
+
+
 class DeviceSketcher:
     """Streams genomes through the device sketch step and collects sketches."""
 
@@ -561,6 +606,21 @@ class DeviceSketcher:
                 jnp.zeros(self.buf_cap, jnp.int32), jnp.int32(0),
                 jnp.bool_(False))
 
+    def _full_cap_sketcher(self, payload: int) -> "DeviceSketcher":
+        """Clone with cap = the whole batch payload (cannot overflow),
+        used by the exact fallback; built lazily, cached."""
+        full = getattr(self, "_full_cache", None)
+        if full is None:
+            full = DeviceSketcher.__new__(DeviceSketcher)
+            full.__dict__.update(self.__dict__)
+            full.cap = payload
+            full.buf_cap = max(self.buf_cap, 2 * payload)
+            full._step = make_stream_step(self.params, self.n_blocks,
+                                          self.block, full.cap,
+                                          full.buf_cap, compaction="dense")
+            self._full_cache = full
+        return full
+
     # -- core ---------------------------------------------------------------
     def sketch_codes(self, genome_codes: Iterator[np.ndarray]
                      ) -> tuple[list[np.ndarray], int]:
@@ -587,21 +647,15 @@ class DeviceSketcher:
         pending: list[_TapeBatch] = []
         bufs = self._fresh_buffers()
 
-        def flush(pending_batches):
-            nonlocal bufs
-            *bufarrs, count, overflow = bufs
+        def flush(cur_bufs, pending_batches):
+            *bufarrs, count, overflow = cur_bufs
             total, oflow = read_scalars(count, overflow)
             oflow = bool(oflow)
             if oflow:
                 # exact fallback: re-run this window, one batch at a time,
-                # at full capacity
-                full = DeviceSketcher.__new__(DeviceSketcher)
-                full.__dict__.update(self.__dict__)
-                full.cap = payload
-                full.buf_cap = max(self.buf_cap, 2 * payload)
-                full._step = make_stream_step(p, self.n_blocks, self.block,
-                                              full.cap, full.buf_cap,
-                                              compaction="dense")
+                # at full capacity (the full-cap step compiles once per
+                # sketcher, not per overflowing window)
+                full = self._full_cap_sketcher(payload)
                 for b in pending_batches:
                     fb = full._fresh_buffers()
                     fb = full._step(b.words,
@@ -609,11 +663,12 @@ class DeviceSketcher:
                                     self.tables, *fb, jnp.int32(0),
                                     jnp.int32(b.valid_upto))
                     _collect(fb, [b])
-                bufs = self._fresh_buffers()
-                return
-            _collect((*bufarrs, count, overflow), pending_batches,
-                     known_total=total)
-            bufs = self._fresh_buffers()
+            else:
+                _collect((*bufarrs, count, overflow), pending_batches,
+                         known_total=total)
+            finalizer.add(hash_chunks, pos_chunks,
+                          pending_batches[-1].base
+                          + pending_batches[-1].valid_upto)
 
         def _collect(cur_bufs, pending_batches, known_total=None):
             buf_lo, buf_hi, buf_pos, buf_batch, count, overflow = cur_bufs
@@ -626,14 +681,17 @@ class DeviceSketcher:
             n = known_total
             if n == 0:
                 return
-            lo = read_prefix(buf_lo, n)
-            pos = read_prefix(buf_pos, n).astype(np.int64)
-            bidx = read_prefix(buf_batch, n)
+            # one fused relay round trip for all carry buffers
+            slabs = [buf_lo] + ([buf_hi] if p.use64 else []) \
+                + [buf_pos, buf_batch]
+            got = read_prefixes(slabs, n)
+            lo = got[0]
+            pos = got[-2].astype(np.int64)
+            bidx = got[-1]
             base = np.array([b.base for b in pending_batches], np.int64)
             gpos = base[bidx] + pos
             if p.use64:
-                hi = read_prefix(buf_hi, n)
-                h = hi.astype(np.uint64) << np.uint64(32)
+                h = got[1].astype(np.uint64) << np.uint64(32)
                 h |= lo.astype(np.uint64)
             else:
                 h = lo.astype(np.uint32)
@@ -661,27 +719,30 @@ class DeviceSketcher:
         t = threading.Thread(target=producer, daemon=True,
                              name="kssd-feed")
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            d2, dexc, batch = item
-            if len(pending) == window:
-                flush(pending)
-                finalizer.add(hash_chunks, pos_chunks,
-                              pending[-1].base + pending[-1].valid_upto)
-                pending = []
-            bufs = self._step(d2, dexc, self.tables, *bufs,
-                              jnp.int32(len(pending)),
-                              jnp.int32(batch.valid_upto))
-            pending.append(batch)
-        t.join()
-        if pending:
-            flush(pending)
-            finalizer.add(hash_chunks, pos_chunks,
-                          pending[-1].base + pending[-1].valid_upto)
+        flusher = _AsyncFlusher(flush)
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                d2, dexc, batch = item
+                if len(pending) == window:
+                    flusher.submit(bufs, pending)
+                    bufs = self._fresh_buffers()
+                    pending = []
+                bufs = self._step(d2, dexc, self.tables, *bufs,
+                                  jnp.int32(len(pending)),
+                                  jnp.int32(batch.valid_upto))
+                pending.append(batch)
+            t.join()
+            if pending:
+                flusher.submit(bufs, pending)
+        finally:
+            flusher.shutdown()
+        if flusher.error is not None:
+            raise flusher.error
 
         self.last_peak_pending = finalizer.peak_pending
         return finalizer.finish()
@@ -830,9 +891,8 @@ class ShardedSketcher:
         pos_chunks: list[np.ndarray] = []
         finalizer = GenomeFinalizer(feeder, p, self.least_num_kmer)
 
-        def collect(pending_batches):
-            nonlocal bufs
-            buf_lo, buf_hi, buf_pos, buf_batch, count, overflow = bufs
+        def collect(cur_bufs, pending_batches):
+            buf_lo, buf_hi, buf_pos, buf_batch, count, overflow = cur_bufs
             counts = read_array(count)
             oflow = read_array(overflow)
             if oflow.any():
@@ -873,14 +933,29 @@ class ShardedSketcher:
                             + po2[s, :c].astype(np.int64))
                     hash_chunks.append(h)
                     pos_chunks.append(gpos)
-            bufs = self._fresh_buffers()
+            finalizer.add(hash_chunks, pos_chunks,
+                          pending_batches[-1].base
+                          + pending_batches[-1].valid_upto)
 
         shard_flat = self.n_blocks * L
+        flusher = _AsyncFlusher(collect)
+        try:
+            self._stream_loop(feeder, flusher, bufs, pending, window, S,
+                              shard_flat, shard_payload)
+        finally:
+            flusher.shutdown()
+        if flusher.error is not None:
+            raise flusher.error
+
+        self.last_peak_pending = finalizer.peak_pending
+        return finalizer.finish()
+
+    def _stream_loop(self, feeder, flusher, bufs, pending, window, S,
+                     shard_flat, shard_payload):
         for batch in feeder:
             if len(pending) == window:
-                collect(pending)
-                finalizer.add(hash_chunks, pos_chunks,
-                              pending[-1].base + pending[-1].valid_upto)
+                flusher.submit(bufs, pending)
+                bufs = self._fresh_buffers()
                 pending = []
             words = batch.words.reshape(S, self.n_blocks, -1)
             # split the batch exception list by shard (flat coords are
@@ -905,12 +980,7 @@ class ShardedSketcher:
                               jnp.int32(len(pending)), vupto)
             pending.append(batch)
         if pending:
-            collect(pending)
-            finalizer.add(hash_chunks, pos_chunks,
-                          pending[-1].base + pending[-1].valid_upto)
-
-        self.last_peak_pending = finalizer.peak_pending
-        return finalizer.finish()
+            flusher.submit(bufs, pending)
 
 
 # the file-level API is identical across sketchers (it only needs

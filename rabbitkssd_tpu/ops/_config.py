@@ -18,6 +18,14 @@ _dir = os.environ.get(
 os.makedirs(_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Pallas/Mosaic kernels serialize their MLIR (incl. location metadata)
+# into the custom_call backend_config, which the cache key hashes but
+# cannot scrub.  With the default traceback-in-locations, the kernel's
+# PYTHON CALL STACK is part of the key — every distinct caller of the
+# same kernel recompiles (~30 s per step on remote-compile relays).
+# Dropping frames from MLIR locations makes Pallas programs cacheable
+# across entry points; tracebacks on errors are unaffected.
+jax.config.update("jax_traceback_in_locations_limit", 0)
 # 64-bit hash values (use64 configs) flow through device ops as real
 # uint64 arrays; kernels keep hot paths in explicit 32-bit dtypes.
 jax.config.update("jax_enable_x64", True)

@@ -37,6 +37,31 @@ def read_prefix(buf, n: int) -> np.ndarray:
     return np.asarray(_prefix_jit(buf, bucket))[:n]
 
 
+@functools.partial(jax.jit, static_argnames=("bucket",))
+def _prefixes_jit(bufs, bucket: int):
+    rows = [
+        jax.lax.dynamic_slice(
+            jax.lax.bitcast_convert_type(b, jnp.uint32), (0,), (bucket,)
+        )
+        for b in bufs
+    ]
+    return jnp.stack(rows)
+
+
+def read_prefixes(bufs, n: int) -> list[np.ndarray]:
+    """Read the first n elements of several same-length 1-D 32-bit device
+    buffers in ONE bucketed transfer (one relay round trip instead of
+    len(bufs) — D2H on tunnel-attached chips is latency-bound)."""
+    if n == 0:
+        return [np.empty(0, b.dtype) for b in bufs]
+    bucket = PAD_I32
+    while bucket < n:
+        bucket <<= 1
+    bucket = min(bucket, bufs[0].shape[0])
+    slab = np.asarray(_prefixes_jit(tuple(bufs), bucket))
+    return [slab[i, :n].view(b.dtype) for i, b in enumerate(bufs)]
+
+
 @jax.jit
 def _pad_flat_jit(arr):
     flat = arr.ravel()
