@@ -367,6 +367,14 @@ class WordTapeFeeder:
         # the initial halo (tape coords [-halo, 0)) is invalid
         self._exc.append(np.arange(-halo, 0, dtype=np.int64))
         self._tape = 0  # bases ingested (word-aligned at genome ends)
+        self._avail = 0  # bases available as pushed words (>= _tape while
+        # a chunked genome is open: its whole-word prefix is usable
+        # before the genome closes)
+        self._open = None  # (iterator, start, total, int8 stage) of the
+        # chunked genome currently being ingested — pulled INCREMENTALLY
+        # so batches flow (and the device runs) while a multi-GB genome
+        # is still being parsed, and memory stays bounded by one batch
+        # window instead of one genome
         self._exhausted = False
 
     # -- ingest -------------------------------------------------------------
@@ -388,6 +396,7 @@ class WordTapeFeeder:
         self._exc.append(np.arange(start + n, start + n + pad,
                                    dtype=np.int64))
         self._tape = start + n + pad
+        self._avail = self._tape
 
     def _append_packed(self, words: np.ndarray, n: int, exc: np.ndarray
                        ) -> None:
@@ -396,41 +405,44 @@ class WordTapeFeeder:
         self._push(words, exc, start)
         self._pad_genome(start, n)
 
-    def _append_chunked(self, it) -> None:
-        start = self._tape
-        self.starts.append(start)
-        total = 0
-        stage = np.empty(0, np.int8)  # int8 remainder below one word
-        for piece in it:
-            if isinstance(piece, np.ndarray):
-                if len(stage):
-                    piece = np.concatenate([stage, piece])
-                    stage = np.empty(0, np.int8)
-                cut = len(piece) - (len(piece) % 16)
-                stage = piece[cut:]
-                if cut == 0:
-                    continue
-                w, n, e = pack_words_np(piece[:cut])
-            else:
-                w, n, e = piece
-                if len(stage):
-                    raise ValueError(
-                        "packed chunk after unaligned int8 chunk"
-                    )
-            if total % 16:
-                raise ValueError("non-final packed chunk not word-aligned")
-            self._push(w, e, start + total)
-            total += n
-        if len(stage):
-            w, n, e = pack_words_np(stage)
-            if total % 16:
-                raise ValueError("non-final packed chunk not word-aligned")
-            self._push(w, e, start + total)
-            total += n
-        self._pad_genome(start, total)
+    def _pull_open_chunk(self) -> None:
+        """Ingest ONE chunk of the open chunked genome (close on end)."""
+        it, start, total, stage = self._open
+        try:
+            piece = next(it)
+        except StopIteration:
+            if len(stage):
+                w, n, e = pack_words_np(stage)
+                self._push(w, e, start + total)
+                total += n
+            self._pad_genome(start, total)
+            self._open = None
+            return
+        if isinstance(piece, np.ndarray):
+            if len(stage):
+                piece = np.concatenate([stage, piece])
+            cut = len(piece) - (len(piece) % 16)
+            stage = piece[cut:]
+            if cut == 0:
+                self._open = (it, start, total, stage)
+                return
+            w, n, e = pack_words_np(piece[:cut])
+        else:
+            w, n, e = piece
+            if len(stage):
+                raise ValueError("packed chunk after unaligned int8 chunk")
+        if total % 16:
+            raise ValueError("non-final packed chunk not word-aligned")
+        self._push(w, e, start + total)
+        total += n
+        self._open = (it, start, total, stage)
+        self._avail = start + total - (total % 16)
 
     def _pull_to(self, need_bases: int) -> None:
-        while not self._exhausted and self._tape < need_bases:
+        while not self._exhausted and self._avail < need_bases:
+            if self._open is not None:
+                self._pull_open_chunk()
+                continue
             try:
                 item = next(self._src)
             except StopIteration:
@@ -441,7 +453,9 @@ class WordTapeFeeder:
             elif isinstance(item, np.ndarray):
                 self._append_packed(*pack_words_np(item))
             else:
-                self._append_chunked(item)
+                self._open = (iter(item), self._tape, 0,
+                              np.empty(0, np.int8))
+                self.starts.append(self._tape)
 
     # -- batch emission -----------------------------------------------------
     def _take_words(self, want: int) -> list[np.ndarray]:
@@ -500,7 +514,7 @@ class WordTapeFeeder:
         halo_exc = np.empty(0, np.int64)  # invalid positions in that span
         while True:
             self._pull_to(base + P)
-            if self._tape <= base:
+            if self._avail <= base:
                 return
             parts = self._take_words(WP)
             flat = np.concatenate([tail, *parts])
@@ -518,16 +532,49 @@ class WordTapeFeeder:
                 words=rows,
                 exc=self._exc_to_flat(exc_tape, base),
                 base=base,
-                valid_upto=min(self._tape - base, P),
+                valid_upto=min(self._avail - base, P),
             )
             base += P
-            if self._exhausted and self._tape <= base:
+            if self._exhausted and self._avail <= base:
                 return
 
 
 # --------------------------------------------------------------------------
 # sketcher
 # --------------------------------------------------------------------------
+
+def _prefetch_chunks(gen, depth: int = 4):
+    """Run a chunk generator on its own thread, `depth` chunks ahead.
+
+    The returned iterator yields the same items; exceptions from the
+    source re-raise at the consumer."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+
+    def run():
+        try:
+            for item in gen:
+                q.put(item)
+        except BaseException as e:
+            q.put(e)
+            return
+        q.put(None)
+
+    threading.Thread(target=run, daemon=True, name="kssd-prefetch").start()
+
+    def out():
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    return out()
+
 
 class _AsyncFlusher:
     """Runs flush jobs on one dedicated thread, strictly in submission
@@ -775,7 +822,14 @@ class DeviceSketcher:
         def parse(path: str):
             if (load_native() is not None
                     and os.stat(path).st_size > stream_threshold):
-                return fasta_packed_chunks(path, self.least_qual)
+                # prefetch thread: the file parses ahead of (and in
+                # parallel with) the feeder consuming it, so a multi-GB
+                # genome's read overlaps the device processing of the
+                # previous one (the RabbitFX producer role,
+                # reference sketch.cpp:396-410); memory stays bounded
+                # by `depth` chunks
+                return _prefetch_chunks(
+                    fasta_packed_chunks(path, self.least_qual))
             pk = fasta_packed(path, self.least_qual)
             if pk is None:  # no native toolchain: python parser
                 recs = [(r.seq, r.qual) for r in read_records(path)]
