@@ -115,3 +115,66 @@ def test_streaming_finalization_bounded(rng):
     got2, _ = sk2.sketch_codes(iter(genomes))
     for a, b in zip(got, got2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_incremental_chunked_genome_interleaves_batches(rng):
+    """A chunked multi-batch genome must flow through the feeder one
+    chunk at a time: batches are emitted before the genome's iterator
+    is exhausted (round-2 fix — the feeder used to buffer the whole
+    genome, idling the device for the entire parse)."""
+    from rabbitkssd_tpu.engine.sketcher import WordTapeFeeder
+    from rabbitkssd_tpu.ops.kmer import pack_words_np
+
+    events = []
+    big = rng.integers(0, 4, size=40_000).astype(np.int8)
+
+    def chunks():
+        for i in range(0, len(big), 4096):
+            events.append(("chunk", i))
+            yield big[i : i + 4096]
+
+    feeder = WordTapeFeeder(iter([chunks()]), n_blocks=2, block=4096,
+                            halo=16)
+    for b in feeder:
+        events.append(("batch", b.base))
+    kinds = [k for k, _ in events]
+    first_batch = kinds.index("batch")
+    assert "chunk" in kinds[first_batch:], (
+        "all chunks were consumed before the first batch was emitted"
+    )
+    # tape content equality vs the one-shot packed path
+    feeder2 = WordTapeFeeder(iter([pack_words_np(big)]), n_blocks=2,
+                             block=4096, halo=16)
+    got = [(b.words.tobytes(), b.exc.tobytes(), b.valid_upto)
+           for b in feeder2]
+    feeder3 = WordTapeFeeder(
+        iter([(big[i : i + 4096] for i in range(0, len(big), 4096))]),
+        n_blocks=2, block=4096, halo=16)
+    got3 = [(b.words.tobytes(), b.exc.tobytes(), b.valid_upto)
+            for b in feeder3]
+    assert got == got3
+
+
+def test_prefetch_chunks_propagates_errors():
+    from rabbitkssd_tpu.engine.sketcher import _prefetch_chunks
+
+    def bad():
+        yield np.zeros(16, np.int8)
+        raise IOError("disk gone")
+
+    it = _prefetch_chunks(bad())
+    next(it)
+    with pytest.raises(IOError, match="disk gone"):
+        next(it)
+
+
+def test_async_flusher_error_surfaces():
+    from rabbitkssd_tpu.engine.sketcher import _AsyncFlusher
+
+    def boom(x):
+        raise ValueError("flush failed")
+
+    fl = _AsyncFlusher(boom)
+    fl.submit(1)
+    fl.shutdown()
+    assert isinstance(fl.error, ValueError)
