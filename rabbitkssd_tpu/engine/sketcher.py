@@ -27,6 +27,7 @@ counts.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Callable, Iterator
 
@@ -38,7 +39,7 @@ from ..formats import Sketch, SketchInfo, SketchSet
 from ..params import KssdParams
 from ..seqio import read_records
 from .. import shuffle as shuffle_mod
-from ..ops.hostxfer import read_prefix, read_prefixes, read_scalars
+from ..ops.hostxfer import read_prefixes, read_scalars
 from ..ops.kmer import (
     encode_concat,
     hash_windows_stream,
@@ -547,31 +548,47 @@ def _prefetch_chunks(gen, depth: int = 4):
     """Run a chunk generator on its own thread, `depth` chunks ahead.
 
     The returned iterator yields the same items; exceptions from the
-    source re-raise at the consumer."""
+    source re-raise at the consumer.  Abandoning the iterator (error
+    mid-pipeline, generator close/GC) cancels the worker and closes the
+    source generator — no leaked thread, fd, or buffered chunks."""
     import queue
     import threading
 
     q: queue.Queue = queue.Queue(maxsize=depth)
+    cancelled = threading.Event()
 
     def run():
         try:
             for item in gen:
                 q.put(item)
+                if cancelled.is_set():
+                    return
         except BaseException as e:
             q.put(e)
             return
+        finally:
+            close = getattr(gen, "close", None)
+            if close is not None:
+                close()
         q.put(None)
 
     threading.Thread(target=run, daemon=True, name="kssd-prefetch").start()
 
     def out():
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            cancelled.set()
+            try:  # unblock a producer stuck on a full queue
+                q.get_nowait()
+            except queue.Empty:
+                pass
 
     return out()
 
@@ -950,15 +967,14 @@ class ShardedSketcher:
             counts = read_array(count)
             oflow = read_array(overflow)
             if oflow.any():
-                # exact fallback: single-chip re-run of this window
-                single = DeviceSketcher(p, np.asarray(self.table),
-                                        n_blocks=1, block=self.block,
-                                        least_qual=0, least_num_kmer=1)
+                # exact fallback: dense single-chip re-run of this window
                 for b in pending_batches:
-                    h, pos = _rerun_batch_single(single, b, p)
+                    h, pos = _rerun_batch_single(self.table, b, p)
                     hash_chunks.append(h)
                     pos_chunks.append(pos)
-                bufs = self._fresh_buffers()
+                finalizer.add(hash_chunks, pos_chunks,
+                              pending_batches[-1].base
+                              + pending_batches[-1].valid_upto)
                 return
             mx = int(counts.max()) if counts.size else 0
             if mx > 0:
@@ -1043,7 +1059,15 @@ ShardedSketcher.sketch_files = DeviceSketcher.sketch_files
 MeshSketcher = ShardedSketcher
 
 
-def _rerun_batch_single(single: "DeviceSketcher", batch: _TapeBatch,
+
+@functools.lru_cache(maxsize=8)
+def _rerun_kernel(p: KssdParams):
+    """Jitted dense hash kernel for the overflow re-run (one wrapper per
+    params so retraces/compiles do not repeat per window)."""
+    return jax.jit(hash_windows_stream(p))
+
+
+def _rerun_batch_single(table, batch: _TapeBatch,
                         p: KssdParams) -> tuple[np.ndarray, np.ndarray]:
     """Exact re-hash of one batch via the (overflow-safe) dense path."""
     from ..ops.kmer import combine_hash_words
@@ -1058,9 +1082,8 @@ def _rerun_batch_single(single: "DeviceSketcher", batch: _TapeBatch,
     coord = (np.arange(nb)[:, None] * block + np.arange(L)[None, :]
              - halo_a)
     valid &= coord < batch.valid_upto
-    kern = jax.jit(hash_windows_stream(p))
-    h_lo, h_hi, keep = kern(jnp.asarray(batch.words), jnp.asarray(valid),
-                            single.table)
+    h_lo, h_hi, keep = _rerun_kernel(p)(
+        jnp.asarray(batch.words), jnp.asarray(valid), table)
     keep = np.asarray(keep)[:, halo_a:]
     h = combine_hash_words(
         np.asarray(h_lo)[:, halo_a:], np.asarray(h_hi)[:, halo_a:],

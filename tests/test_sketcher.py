@@ -178,3 +178,58 @@ def test_async_flusher_error_surfaces():
     fl.submit(1)
     fl.shutdown()
     assert isinstance(fl.error, ValueError)
+
+
+def test_prefetch_chunks_cancellation_closes_source():
+    """Abandoning the prefetch iterator must cancel the worker and close
+    the source generator (no leaked thread / fd)."""
+    import threading
+    import time
+
+    from rabbitkssd_tpu.engine.sketcher import _prefetch_chunks
+
+    closed = threading.Event()
+
+    def src():
+        try:
+            for i in range(1000):
+                yield np.zeros(16, np.int8)
+        finally:
+            closed.set()
+
+    it = _prefetch_chunks(src(), depth=2)
+    next(it)
+    it.close()  # abandon mid-stream
+    assert closed.wait(timeout=5.0), "source generator never closed"
+
+
+def test_sharded_overflow_finalizes(rng):
+    """A window that trips the capacity overflow on the sharded path must
+    still finalize its genomes (round-2 review finding: the overflow
+    branch returned before finalizer.add, silently dropping sketches)."""
+    from rabbitkssd_tpu.engine.sketcher import ShardedSketcher
+    from rabbitkssd_tpu.params import KssdParams
+    from rabbitkssd_tpu.shuffle import generate_shuffle
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device backend")
+    shuf = generate_shuffle(8, 4, 0)  # drlevel=0: EVERY window survives
+    params = KssdParams(half_k=8, half_subk=4, drlevel=0)
+    sk = ShardedSketcher(params, shuf.shuffled_dim, n_blocks=1, block=1024)
+    sk.cap = 64  # << survivors per batch -> guaranteed overflow
+    from rabbitkssd_tpu.engine.sketcher import make_sharded_stream_step
+
+    sk._step = make_sharded_stream_step(params, sk.mesh, 1, 1024, sk.cap,
+                                        sk.buf_cap)
+    genomes = [rng.integers(0, 4, size=3000).astype(np.int8)
+               for _ in range(6)]
+    got, n = sk.sketch_codes(iter([g.copy() for g in genomes]))
+    assert n == 6
+    # exactness vs the single-chip full-capacity path
+    from rabbitkssd_tpu.engine.sketcher import DeviceSketcher
+
+    ref = DeviceSketcher(params, shuf.shuffled_dim, n_blocks=2, block=2048)
+    want, _ = ref.sketch_codes(iter(genomes))
+    for i, (a, b) in enumerate(zip(got, want)):
+        np.testing.assert_array_equal(a, b, err_msg=f"genome {i}")
