@@ -247,7 +247,48 @@ def canonical_rows(path):
     return out
 
 
+def ensure_live_backend() -> None:
+    """Fall back to the virtual 8-device CPU mesh if the attached TPU
+    relay is unhealthy (it occasionally wedges for hours): a poor but
+    present benchmark number beats a hang the driver must kill."""
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "jax.block_until_ready(jax.jit(lambda v: v + 1)(jnp.ones(128)));"
+             "print('HEALTHY')"],
+            capture_output=True, text=True, timeout=120,
+        )
+        if "HEALTHY" in r.stdout:
+            return
+    except Exception:
+        pass
+    log("WARNING: TPU relay unhealthy -> benchmarking on the virtual "
+        "8-device CPU mesh (not a TPU number; see BASELINE.md for TPU "
+        "measurements)")
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    import jax  # may be preloaded by sitecustomize; backend not yet init
+
+    jax.config.update("jax_platforms", "cpu")
+    # a host-CPU "device" is far slower than a v5e chip; shrink the
+    # corpus (unless the user pinned one) so the run stays minutes —
+    # the metric line names its own config, so it stays self-describing
+    global N_GENOMES, GENOME_LEN
+    if "KSSD_BENCH_GENOMES" not in os.environ:
+        N_GENOMES = 64
+    if "KSSD_BENCH_GENOME_LEN" not in os.environ:
+        GENOME_LEN = 500_000
+
+
 def main() -> int:
+    ensure_live_backend()
     # start the device transfer-channel warmup immediately: its one-time
     # relay setup (minutes on cold processes) overlaps corpus generation
     # and the reference baseline run
@@ -276,7 +317,7 @@ def main() -> int:
         vs = ref_wall / ours_wall
     print(json.dumps({
         "metric": f"sketch+alldist wall, {N_GENOMES} genomes x "
-                  f"{GENOME_LEN/1e6:.0f}Mb (L3K10, D=0.05)",
+                  f"{GENOME_LEN/1e6:g}Mb (L3K10, D=0.05)",
         "value": round(ours_wall, 3),
         "unit": "s",
         "vs_baseline": round(vs, 3) if vs is not None else None,
