@@ -94,6 +94,10 @@ def make_sharded_sketch_step(params: KssdParams, mesh: Mesh, n_blocks: int,
 # sharded distance step
 # --------------------------------------------------------------------------
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
 def make_sharded_common_step(mesh: Mesh, rows_per_dp: int, n1: int,
                              cols_per_vp: int, cap0: int, cap1: int):
     """Intersection counts with genome rows on dp and vocab columns on vp.
@@ -107,7 +111,7 @@ def make_sharded_common_step(mesh: Mesh, rows_per_dp: int, n1: int,
     Output int32[dp * rows_per_dp, n1]: true counts after psum over vp.
     """
 
-    def shard_fn(g0, c0, g1, c1):
+    def shard_fn(acc, g0, c0, g1, c1):
         m0 = jnp.zeros((rows_per_dp, cols_per_vp), jnp.bfloat16)
         m0 = m0.at[g0[0, 0], c0[0, 0]].set(1, mode="drop",
                                            unique_indices=True)
@@ -118,19 +122,22 @@ def make_sharded_common_step(mesh: Mesh, rows_per_dp: int, n1: int,
             preferred_element_type=jnp.float32,
         )
         # per-thread partial counters -> ICI all-reduce (dist.cpp:143)
-        return jax.lax.psum(part.astype(jnp.int32), "vp")[None]
+        return acc + jax.lax.psum(part.astype(jnp.int32), "vp")[None]
 
     sharded = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P("dp", "vp", None), P("dp", "vp", None),
+        in_specs=(P("dp", None, None),
+                  P("dp", "vp", None), P("dp", "vp", None),
                   P("vp", None), P("vp", None)),
         out_specs=P("dp", None, None),
     )
 
-    @jax.jit
-    def step(g0, c0, g1, c1):
-        out = sharded(g0, c0, g1, c1)  # [dp, rows_per_dp, n1]
-        return out.reshape(-1, n1)
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(acc, g0, c0, g1, c1):
+        # acc int32[dp, rows_per_dp, n1] (donated device carry)
+        return sharded(acc, g0, c0, g1, c1)
 
     return step
 
@@ -180,23 +187,36 @@ def sharded_common_counts(hashes0: list[np.ndarray],
 
     dp, vp = mesh.devices.shape
     rows_per_dp = -(-n0 // dp)
-    cols_per_vp = -(-len(vocab) // vp)
+    # memory-based auto-sizing of the vocab slice per device: the two
+    # membership matrices hold (rows_per_dp + n1) * cols_per_vp bf16 per
+    # device — cap that at KSSD_DIST_MEM_BYTES (default 4 GiB) and
+    # iterate vocab CHUNKS of vp * cols_per_vp columns, accumulating in
+    # a donated device carry (one readback total).  Without this, a
+    # 2^28-slot vocabulary would demand an infeasible per-device
+    # membership no matter how many devices shard it.
+    import os
+
+    budget = int(os.environ.get("KSSD_DIST_MEM_BYTES", 1 << 32))
+    max_cols = max(1024, budget // (2 * (rows_per_dp + n1)))
+    cols_per_vp = min(-(-len(vocab) // vp),
+                      1 << (max_cols.bit_length() - 1))
+    chunk_cols = vp * cols_per_vp
 
     g0, c0 = g0j, c0j
     g1, c1 = g1j, c1j
 
-    def split_pairs(g, c, split_rows: bool):
-        """Partition pairs into the [dp?, vp, cap] padded layout."""
+    def split_pairs(g, c, col_lo: int, split_rows: bool):
+        """Partition one vocab chunk's pairs into the [dp?, vp, cap]
+        padded layout (cap = largest bucket, power-of-two bucketed)."""
+        row_groups = dp if split_rows else 1
         buckets = []
         cap = 0
-        row_groups = dp if split_rows else 1
         for r in range(row_groups):
-            row_lo, row_hi = r * rows_per_dp, (r + 1) * rows_per_dp
             if split_rows:
-                sel = (g >= row_lo) & (g < row_hi)
-                gg, cc = g[sel] - row_lo, c[sel]
+                sel = (g >= r * rows_per_dp) & (g < (r + 1) * rows_per_dp)
+                gg, cc = g[sel] - r * rows_per_dp, c[sel] - col_lo
             else:
-                gg, cc = g, c
+                gg, cc = g, c - col_lo
             row_buckets = []
             for v in range(vp):
                 lo, hi = v * cols_per_vp, (v + 1) * cols_per_vp
@@ -209,23 +229,30 @@ def sharded_common_counts(hashes0: list[np.ndarray],
         G = np.zeros(shape, np.int32)
         C = np.full(shape, cols_per_vp, np.int32)
         for r, row_buckets in enumerate(buckets):
-            for v, (gg, cc) in enumerate(row_buckets):
+            for v, (gv, cv) in enumerate(row_buckets):
                 if split_rows:
-                    G[r, v, : len(gg)] = gg
-                    C[r, v, : len(cc)] = cc
+                    G[r, v, : len(gv)] = gv
+                    C[r, v, : len(cv)] = cv
                 else:
-                    G[v, : len(gg)] = gg
-                    C[v, : len(cc)] = cc
+                    G[v, : len(gv)] = gv
+                    C[v, : len(cv)] = cv
         return G, C, cap
 
-    G0, C0, cap0 = split_pairs(g0, c0, split_rows=True)
-    G1, C1, cap1 = split_pairs(g1, c1, split_rows=False)
-
-    step = make_sharded_common_step(mesh, rows_per_dp, n1, cols_per_vp,
-                                    cap0, cap1)
     from ..ops.hostxfer import read_array
 
-    out = read_array(step(G0, C0, G1, C1))[:n0]
+    acc = jnp.zeros((dp, rows_per_dp, n1), jnp.int32)
+    n_chunks = -(-len(vocab) // chunk_cols)
+    for ci in range(n_chunks):
+        lo, hi = ci * chunk_cols, min(len(vocab), (ci + 1) * chunk_cols)
+        s0 = slice(*np.searchsorted(c0, [lo, hi]))
+        s1 = slice(*np.searchsorted(c1, [lo, hi]))
+        G0, C0, cap0 = split_pairs(g0[s0], c0[s0], lo, True)
+        G1, C1, cap1 = split_pairs(g1[s1], c1[s1], lo, False)
+        step = make_sharded_common_step(mesh, rows_per_dp, n1,
+                                        cols_per_vp, cap0, cap1)
+        acc = step(acc, G0, C0, G1, C1)
+
+    out = read_array(acc).reshape(dp * rows_per_dp, n1)[:n0]
     if symmetric:
         # the >=2-genome vocab filter drops singleton self-counts;
         # read_array may hand back a read-only device view -> copy

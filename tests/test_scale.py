@@ -72,12 +72,21 @@ from rabbitkssd_tpu.engine.dist_engine import run_alldist
 sk = read_sketches({sketch_path!r})
 assert len(sk.sketches) == {N_GENOMES}
 run_alldist(sk, {out!r}, max_dist={MAX_DIST}, containment=False)
-peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+# NB ru_maxrss survives execve (the high-water mark is inherited from
+# the forking parent), so a child spawned by a large pytest process
+# would report the PARENT's peak; VmHWM belongs to this process's mm.
+with open("/proc/self/status") as st:
+    hwm_kb = next(int(l.split()[1]) for l in st if l.startswith("VmHWM"))
+peak_gb = hwm_kb / 1e6
 print(f"PEAK_RSS_GB {{peak_gb:.2f}}")
 assert peak_gb < 8.0, f"unbounded memory: {{peak_gb:.1f}} GB"
 """
     env = cpu_mesh_env()
     env["KSSD_DIST_BLOCK"] = "4096"  # strip = 4096 x N int32 = 1.6 GB
+    # deterministic small device-memory budget: membership matrices per
+    # vocab chunk stay ~0.5 GB so the RSS bound below tests tiling, not
+    # the XLA CPU allocator's temp-pool mood
+    env["KSSD_DIST_MEM_BYTES"] = str(1 << 30)
     proc = subprocess.run([sys.executable, "-c", code], env=env,
                           capture_output=True, text=True, timeout=1500)
     assert proc.returncode == 0, proc.stderr[-4000:]
