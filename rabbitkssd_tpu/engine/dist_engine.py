@@ -493,25 +493,40 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
     step = progress_bar_size(n)
     print(f"=====total: {n}", file=sys.stderr)
 
+    def count_strip(strip, i0):
+        bi = min(block, n - i0)
+        # emission reads columns j > i >= i0 only, so tiles with
+        # J < I are never needed: strictly upper-triangle work
+        common_blk = strip[:bi]
+        common_blk[:] = 0
+        if csr is not None:
+            row_pairs = csr.side_pairs(i0, i0 + bi)
+            for j0 in range(i0, n, block):
+                j1 = min(n, j0 + block)
+                common_blk[:, j0:j1] = csr.counts(
+                    row_pairs, csr.side_pairs(j0, j1), bi, j1 - j0)
+        else:
+            _tile_counts(common_blk, hashes, i0, bi, i0, n, block)
+        return common_blk
+
     def row_gen():
-        strip = np.empty((min(block, n), n), np.int32)  # reused per strip
-        for i0 in range(0, n, block):
-            bi = min(block, n - i0)
-            # emission reads columns j > i >= i0 only, so tiles with
-            # J < I are never needed: strictly upper-triangle work
-            common_blk = strip[:bi]
-            common_blk[:] = 0
-            if csr is not None:
-                row_pairs = csr.side_pairs(i0, i0 + bi)
-                for j0 in range(i0, n, block):
-                    j1 = min(n, j0 + block)
-                    common_blk[:, j0:j1] = csr.counts(
-                        row_pairs, csr.side_pairs(j0, j1), bi, j1 - j0)
-            else:
-                _tile_counts(common_blk, hashes, i0, bi, i0, n, block)
-            yield from _alldist_block_rows(names, sizes, common_blk, i0,
-                                           kmer_size, max_dist,
-                                           containment, step)
+        # double-buffered strips: strip i0+block counts (device matmuls)
+        # while strip i0's rows emit (host text work) — the reference
+        # overlaps these with per-thread row ownership (dist.cpp:174);
+        # here one prefetch thread owns the counting
+        from concurrent.futures import ThreadPoolExecutor
+
+        strips = [np.empty((min(block, n), n), np.int32) for _ in range(2)]
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(count_strip, strips[0], 0)
+            for k, i0 in enumerate(range(0, n, block)):
+                common_blk = fut.result()
+                nxt = i0 + block
+                if nxt < n:
+                    fut = ex.submit(count_strip, strips[(k + 1) % 2], nxt)
+                yield from _alldist_block_rows(names, sizes, common_blk,
+                                               i0, kmer_size, max_dist,
+                                               containment, step)
 
     _write_rows(row_gen(), names, output_file)
 
@@ -557,17 +572,31 @@ def run_dist(ref: SketchSet, query: SketchSet, output_file: str,
         _write_rows(rows, [s.name for s in query.sketches], output_file)
         return
 
+    def count_strip(strip, q0):
+        bq = min(block, nq - q0)
+        common_blk = strip[:bq]
+        common_blk[:] = 0
+        blk_counts(common_blk, q0, bq)
+        return common_blk
+
     def row_gen():
-        strip = np.empty((min(block, nq), nr), np.int32)  # reused
-        for q0 in range(0, nq, block):
-            bq = min(block, nq - q0)
-            common_blk = strip[:bq]
-            common_blk[:] = 0
-            blk_counts(common_blk, q0, bq)
-            sub = SketchSet(info=query.info,
-                            sketches=query.sketches[q0 : q0 + bq])
-            yield from dist_rows(ref, sub, common_blk, kmer_size,
-                                 max_dist, containment, max_neighbor,
-                                 progress_offset=q0, progress_total=nq)
+        # double-buffered strips: next query block counts on device
+        # while this block's rows emit on host (see run_alldist)
+        from concurrent.futures import ThreadPoolExecutor
+
+        strips = [np.empty((min(block, nq), nr), np.int32)
+                  for _ in range(2)]
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(count_strip, strips[0], 0)
+            for k, q0 in enumerate(range(0, nq, block)):
+                common_blk = fut.result()
+                if q0 + block < nq:
+                    fut = ex.submit(count_strip, strips[(k + 1) % 2],
+                                    q0 + block)
+                sub = SketchSet(info=query.info,
+                                sketches=query.sketches[q0 : q0 + block])
+                yield from dist_rows(ref, sub, common_blk, kmer_size,
+                                     max_dist, containment, max_neighbor,
+                                     progress_offset=q0, progress_total=nq)
 
     _write_rows(row_gen(), [s.name for s in query.sketches], output_file)
