@@ -424,13 +424,13 @@ def _load_csr(sketch_path: str | None, use64: bool,
     return _CsrIndex(*got)
 
 
-def _auto_block(n: int) -> int:
+def _auto_block() -> int:
     """Genome-axis block size bounding device memory.
 
     The membership matmul for a (B0, B1) tile over a W-column vocab
-    chunk holds (B0p + B1p) * W bf16 + B0p * B1p int32 on device; with
-    W <= 2^22 and B = 8192 that is <= ~8.5 GiB — within one v5e chip's
-    HBM, and far below host RAM on the CPU backend.  Overridable via
+    chunk holds (B0p + B1p) * W bf16 + B0p * B1p int32 on device —
+    pair_counts additionally caps W by KSSD_DIST_MEM_BYTES, so the
+    default block never OOMs a v5e chip.  Overridable via
     KSSD_DIST_BLOCK.
     """
     env = os.environ.get("KSSD_DIST_BLOCK")
@@ -439,20 +439,22 @@ def _auto_block(n: int) -> int:
     return 8192
 
 
-def _tile_counts(common_blk: np.ndarray, hashes, i0: int, bi: int,
-                 j_start: int, n: int, block: int) -> None:
+def _tile_counts(common_blk: np.ndarray, row_hashes, col_hashes, i0: int,
+                 bi: int, j_start: int, n: int, block: int) -> None:
     """Fill common_blk[:, j_start:] by (row, col)-blocked tiles.
 
+    ``row_hashes`` provides rows i0..i0+bi; ``col_hashes`` the column
+    genomes (the same list for alldist, the reference side for dist).
     Both genome axes are blocked so no membership matrix wider than
     ``block`` genomes ever materializes — the O(nnz)-style bounded
     footprint of the reference's posting-list walk
     (/root/reference/src/dist.cpp:174-204) — while each tile's counting
     still runs as MXU matmuls over the tile pair's shared vocabulary.
     """
-    blk = hashes[i0 : i0 + bi]
+    blk = row_hashes[i0 : i0 + bi]
     for j0 in range(j_start, n, block):
         j1 = min(n, j0 + block)
-        common_blk[:, j0:j1] = _counts(blk, hashes[j0:j1])
+        common_blk[:, j0:j1] = _counts(blk, col_hashes[j0:j1])
 
 
 def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
@@ -474,7 +476,7 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
     kmer_size = 2 * sk.info.half_k
     names = [s.name for s in sk.sketches]
     n = len(hashes)
-    block = _auto_block(n)
+    block = _auto_block()
     csr = _load_csr(index_path, sk.use64,
                     payload_nnz=int(sum(h.size for h in hashes)))
     if n <= block:
@@ -506,7 +508,8 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
                 common_blk[:, j0:j1] = csr.counts(
                     row_pairs, csr.side_pairs(j0, j1), bi, j1 - j0)
         else:
-            _tile_counts(common_blk, hashes, i0, bi, i0, n, block)
+            _tile_counts(common_blk, hashes, hashes, i0, bi, i0, n,
+                         block)
         return common_blk
 
     def row_gen():
@@ -547,7 +550,7 @@ def run_dist(ref: SketchSet, query: SketchSet, output_file: str,
     rh = [s.hashes for s in ref.sketches]
     kmer_size = 2 * ref.info.half_k
     nq, nr = len(qh), len(rh)
-    block = _auto_block(max(nq, nr))
+    block = _auto_block()
     csr = _load_csr(ref_index_path, ref.use64,
                     payload_nnz=int(sum(h.size for h in rh)))
 
@@ -559,7 +562,7 @@ def run_dist(ref: SketchSet, query: SketchSet, output_file: str,
                 common_blk[:, j0:j1] = csr.counts(
                     q_pairs, csr.side_pairs(j0, j1), bq, j1 - j0)
         else:
-            _tile_counts(common_blk, qh, q0, bq, 0, nr, block)
+            _tile_counts(common_blk, qh, rh, q0, bq, 0, nr, block)
 
     if nq <= block and nr <= block:
         if csr is not None:

@@ -1190,7 +1190,7 @@ def sketch_file_list(list_path: str, shuf: "shuffle_mod.ShuffleFile",
         least_qual, least_num_kmer = 0, 1
     files = read_list(list_path)
     params = KssdParams(half_k=shuf.k, half_subk=shuf.subk, drlevel=shuf.drlevel)
-    if len(jax.devices()) > 1 and "mesh" not in kw:
+    if kw.get("mesh") is not None or len(jax.devices()) > 1:
         sk = MeshSketcher(params, shuf.shuffled_dim, least_qual=least_qual,
                           least_num_kmer=least_num_kmer, threads=threads,
                           **kw)

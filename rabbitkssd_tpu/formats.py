@@ -272,7 +272,9 @@ def read_index_csr(sketch_path: str, use64: bool):
     if use64:
         vocab = hashes
         seg_counts = counts.astype(np.int64)
-        if vocab.size > 1 and np.any(np.diff(vocab.view(np.uint64)) < 1):
+        # NB unsigned diff wraps around (5 -> 3 gives 2^64-2, not -2):
+        # compare adjacent values directly to detect unsorted/dup slots
+        if vocab.size > 1 and np.any(vocab[1:] <= vocab[:-1]):
             order = np.argsort(vocab, kind="stable")
             ends = np.cumsum(seg_counts)
             starts = ends - seg_counts

@@ -35,7 +35,18 @@ from ..params import KssdParams
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """Best 2-D ("dp", "vp") mesh over the first n devices."""
+    """Best 2-D ("dp", "vp") mesh over the first n devices.
+
+    Multi-process (jax.distributed) runs delegate to
+    ``multihost.global_mesh`` so vp stays within each host's local
+    chips — the distance ``psum`` over vp then rides ICI, and only
+    host-mergeable dp partials cross DCN.  A locality-blind
+    factorization here would happily put one vp row across two hosts.
+    """
+    if devices is None and n_devices is None and jax.process_count() > 1:
+        from .multihost import global_mesh
+
+        return global_mesh()
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:

@@ -153,7 +153,12 @@ def test_dist_query_blocked(tmp_path, monkeypatch):
     reps = []
     for r in range(50):
         for s in ref.sketches:
-            reps.append(dataclasses.replace(s, name=f"{s.name}#{r}"))
+            # PERTURBED queries (drop r leading hashes): the blocked
+            # path must consume the REFERENCE side for columns — with
+            # query == ref replicas a ref/query axis swap is invisible
+            reps.append(dataclasses.replace(
+                s, name=f"{s.name}#{r}",
+                hashes=s.hashes[min(r + 1, max(0, s.hashes.size - 2)):]))
     query = dataclasses.replace(ref, sketches=reps)
     for n_top in (0, 2):
         outs = []

@@ -45,3 +45,35 @@ def test_index32_bytes_match_reference(tmp_path):
                          (i, "fa_k5s4l1.sketch.index")):
         with open(ours, "rb") as a, open(os.path.join(GOLDEN, golden), "rb") as b:
             assert a.read() == b.read(), golden
+
+
+def test_index64_unsorted_vocab_normalized(tmp_path):
+    """A 64-bit index in hash-map iteration order (the reference's
+    robin_hood ordering, sketch.cpp:904-968) must load as a sorted CSR
+    with posting segments realigned.  Regression: unsigned np.diff
+    wraps around (5 -> 3 gives 2^64-2), so descending vocabs passed the
+    old 'sorted' check and searchsorted consumers got garbage."""
+    import struct
+
+    import numpy as np
+
+    from rabbitkssd_tpu.formats import read_index_csr
+
+    base = str(tmp_path / "x.sketch")
+    vocab = np.array([900, 5, 77, 3], np.uint64)  # decidedly unsorted
+    counts = np.array([2, 1, 3, 1], np.uint32)
+    postings = np.array([10, 11, 20, 30, 31, 32, 40], np.uint32)
+    with open(base + ".index", "wb") as f:
+        f.write(struct.pack("<Q", len(vocab)))
+        f.write(vocab.astype("<u8").tobytes())
+        f.write(counts.astype("<u4").tobytes())
+    postings.astype("<u4").tofile(base + ".dict")
+
+    got = read_index_csr(base, use64=True)
+    assert got is not None
+    v, off, post = got
+    np.testing.assert_array_equal(v, [3, 5, 77, 900])
+    np.testing.assert_array_equal(np.diff(off), [1, 1, 3, 2])
+    # segments follow their hash: 3 -> [40], 5 -> [20], 77 -> [30,31,32],
+    # 900 -> [10,11]
+    np.testing.assert_array_equal(post, [40, 20, 30, 31, 32, 10, 11])
