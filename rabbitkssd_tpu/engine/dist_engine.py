@@ -327,7 +327,7 @@ def _write_rows(rows, names: list[str], output_file: str) -> None:
                 f.write(f"{name}\t{part}\n")
 
 
-def _counts(hashes0, hashes1):
+def _counts(hashes0, hashes1, vocab0=None):
     """Intersection counts, sharded over the device mesh when more than
     one device is attached (dp rows x vp vocabulary, psum over vp)."""
     import jax
@@ -335,8 +335,9 @@ def _counts(hashes0, hashes1):
     if len(jax.devices()) > 1:
         from ..parallel.sharded import make_mesh, sharded_common_counts
 
-        return sharded_common_counts(hashes0, hashes1, make_mesh())
-    return common_counts(hashes0, hashes1)
+        return sharded_common_counts(hashes0, hashes1, make_mesh(),
+                                     vocab0=vocab0)
+    return common_counts(hashes0, hashes1, vocab0=vocab0)
 
 
 class _CsrIndex:
@@ -452,9 +453,14 @@ def _tile_counts(common_blk: np.ndarray, row_hashes, col_hashes, i0: int,
     still runs as MXU matmuls over the tile pair's shared vocabulary.
     """
     blk = row_hashes[i0 : i0 + bi]
+    # the row block's hash union is identical across all column tiles —
+    # compute it once per strip instead of inside every _counts call
+    row_vocab = (np.unique(np.concatenate(blk)) if blk
+                 else np.empty(0, np.uint64))
     for j0 in range(j_start, n, block):
         j1 = min(n, j0 + block)
-        common_blk[:, j0:j1] = _counts(blk, col_hashes[j0:j1])
+        common_blk[:, j0:j1] = _counts(blk, col_hashes[j0:j1],
+                                       vocab0=row_vocab)
 
 
 def run_alldist(sk: SketchSet, output_file: str, max_dist: float,

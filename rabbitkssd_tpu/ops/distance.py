@@ -206,7 +206,7 @@ def pair_counts(g0, c0, g1, c1, n0: int, n1: int, n_vocab: int,
 
 
 def common_counts(hashes0: list[np.ndarray], hashes1: list[np.ndarray] | None,
-                  chunk: int = MAX_CHUNK) -> np.ndarray:
+                  chunk: int = MAX_CHUNK, vocab0=None) -> np.ndarray:
     """Exact pairwise intersection-count matrix via chunked MXU matmuls.
 
     hashes*: per-genome sorted unique hash arrays.  If hashes1 is None,
@@ -222,10 +222,14 @@ def common_counts(hashes0: list[np.ndarray], hashes1: list[np.ndarray] | None,
         vocab = vocab[counts >= 2]  # sketches are deduped: count == #genomes
         hashes1 = hashes0
     else:
-        # only hashes present on both sides can intersect
-        v0 = np.unique(np.concatenate(hashes0)) if hashes0 else np.empty(0)
+        # only hashes present on both sides can intersect; a caller
+        # tiling one row block against many column blocks precomputes
+        # the row side's union once (vocab0)
+        if vocab0 is None:
+            vocab0 = (np.unique(np.concatenate(hashes0)) if hashes0
+                      else np.empty(0))
         v1 = np.unique(np.concatenate(hashes1)) if hashes1 else np.empty(0)
-        vocab = np.intersect1d(v0, v1)
+        vocab = np.intersect1d(vocab0, v1)
 
     n0, n1 = len(hashes0), len(hashes1)
     g0, c0 = _memberships(hashes0, vocab)

@@ -155,7 +155,7 @@ def make_sharded_common_step(mesh: Mesh, rows_per_dp: int, n1: int,
 
 def sharded_common_counts(hashes0: list[np.ndarray],
                           hashes1: list[np.ndarray] | None,
-                          mesh: Mesh) -> np.ndarray:
+                          mesh: Mesh, vocab0=None) -> np.ndarray:
     """Mesh-parallel version of ops.distance.common_counts.
 
     Rows of side 0 shard over dp; the vocabulary shards over vp; side 1
@@ -170,9 +170,11 @@ def sharded_common_counts(hashes0: list[np.ndarray],
         vocab = vocab[counts >= 2]
         hashes1 = hashes0
     else:
-        v0 = np.unique(np.concatenate(hashes0)) if hashes0 else np.empty(0)
+        if vocab0 is None:
+            vocab0 = (np.unique(np.concatenate(hashes0)) if hashes0
+                      else np.empty(0))
         v1 = np.unique(np.concatenate(hashes1)) if hashes1 else np.empty(0)
-        vocab = np.intersect1d(v0, v1)
+        vocab = np.intersect1d(vocab0, v1)
 
     n0, n1 = len(hashes0), len(hashes1)
     if len(vocab) == 0:
