@@ -74,8 +74,10 @@ def keep_rep_np(shuffled_dim: np.ndarray, dim_end: int) -> np.ndarray:
     auto on TPU: lane for every set with R = ceil(|kept|/128) <= 512
     (the VMEM-resident lane table beats compare-all even at 4096 kept
     dims: 1.3 ms vs 8.5 ms per 2M-window batch, measured round 2) /
-    sortjoin beyond; elsewhere member / gather (XLA CPU gathers are
-    cheap native loads, and interpret-mode Pallas is slow).
+    sortjoin beyond.  auto on CPU backends: always the full-table
+    gather — XLA CPU gathers are cheap native loads (12 ms/batch vs
+    3.5 s for the compare-all sweep, scripts/perf_probe.py), and
+    interpret-mode Pallas is slower still.
 
     ``KSSD_KEEP_STRATEGY`` in {auto, member, lane, sort, gather}
     overrides.
@@ -97,9 +99,7 @@ def keep_rep_np(shuffled_dim: np.ndarray, dim_end: int) -> np.ndarray:
         if strategy == "lane" or lt.shape[0] <= 512:
             return lt
         return kept  # too many rounds on TPU -> sortjoin branch
-    if kept.shape[0] > 8192:
-        return np.zeros((1, 1), np.int32)  # CPU large sets -> gather
-    return kept
+    return np.zeros((1, 1), np.int32)  # CPU backends -> gather
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""Component-level performance probe for the sketch+distance hot paths.
+
+Measures each pipeline stage in isolation so regressions are
+attributable (the numbers BASELINE.md quotes come from here):
+
+  parse      native FASTA reader, one-shot + chunked (Mbase/s)
+  feeder     WordTapeFeeder assembly incl. parse (Mbase/s)
+  h2d        host->device batch transfer (MB/s)
+  step:*     pipelined device stream step per config (ms/batch, Mbase/s)
+  member:*   keep-test strategies on one batch of dim_ids (ms)
+  flush      read_scalars + fused read_prefixes round trips (ms)
+  counts     pair_counts tile (device matmul path) (ms)
+
+Device stages are skipped (with a note) when no healthy accelerator is
+attached; host stages always run.  Prints one JSON object per stage.
+
+Usage: python scripts/perf_probe.py [--genomes 32] [--device-only|--host-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BENCH_DIR = os.environ.get("KSSD_BENCH_DIR", "/tmp/kssd_bench")
+
+
+def emit(stage: str, **kv):
+    print(json.dumps({"stage": stage, **kv}), flush=True)
+
+
+def device_healthy(timeout: int = 90) -> bool:
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True  # local backend (cpu/tpu-vm): trust it
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "jax.block_until_ready(jax.jit(lambda v: v+1)(jnp.ones(128)));"
+             "print('HEALTHY')"],
+            capture_output=True, text=True, timeout=timeout)
+        return "HEALTHY" in r.stdout
+    except Exception:
+        return False
+
+
+def ensure_corpus(n_genomes: int, length: int) -> list[str]:
+    root = os.path.join(BENCH_DIR, f"probe_n{n_genomes}_l{length}")
+    marker = os.path.join(root, "DONE")
+    files = [os.path.join(root, f"g{i:03d}.fna") for i in range(n_genomes)]
+    if os.path.exists(marker):
+        return files
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    for p in files:
+        seq = bases[rng.integers(0, 4, size=length, dtype=np.int8)]
+        with open(p, "wb") as f:
+            f.write(b">g\n")
+            rows = seq[: length - length % 100].reshape(-1, 100)
+            nl = np.full((rows.shape[0], 1), ord("\n"), np.uint8)
+            f.write(np.hstack([rows, nl]).tobytes())
+    with open(marker, "w") as f:
+        f.write("ok")
+    return files
+
+
+def probe_host(files: list[str]) -> None:
+    from rabbitkssd_tpu.native import fasta_packed, load_native
+    from rabbitkssd_tpu.engine import sketcher as S
+    from rabbitkssd_tpu.params import KssdParams
+
+    if load_native() is None:
+        emit("parse", skipped="no native toolchain")
+        return
+    t0 = time.time()
+    total = sum(fasta_packed(p, 0)[1] for p in files)
+    emit("parse", mbase_per_s=round(total / 1e6 / (time.time() - t0), 1),
+         mbase=round(total / 1e6, 1))
+
+    params = KssdParams(half_k=10, half_subk=6, drlevel=3)
+    halo = S.aligned_halo(params)
+    t0 = time.time()
+    feeder = S.WordTapeFeeder((fasta_packed(p, 0) for p in files),
+                              n_blocks=16, block=1 << 17, halo=halo)
+    nb = sum(1 for _ in feeder)
+    emit("feeder", mbase_per_s=round(total / 1e6 / (time.time() - t0), 1),
+         batches=nb)
+
+
+def probe_device(files: list[str]) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from rabbitkssd_tpu.engine import sketcher as S
+    from rabbitkssd_tpu.ops.kmer import (kept_dims_np, member_kept,
+                                         pad_exceptions, sortjoin_keep)
+    from rabbitkssd_tpu.ops import hostxfer
+    from rabbitkssd_tpu.params import KssdParams
+    from rabbitkssd_tpu.shuffle import generate_shuffle
+
+    backend = jax.default_backend()
+    emit("device", backend=backend, n=len(jax.devices()))
+
+    # h2d
+    payload = np.zeros((16, 8196), np.uint32)
+    jax.block_until_ready(jax.device_put(payload))
+    t0 = time.time()
+    for _ in range(10):
+        d = jax.device_put(payload)
+    jax.block_until_ready(d)
+    dt = (time.time() - t0) / 10
+    emit("h2d", mb_per_s=round(payload.nbytes / 1e6 / dt, 0))
+
+    rng = np.random.default_rng(0)
+    for name, (k, s, l) in {"L3K10": (10, 6, 3), "L2K8": (8, 6, 2),
+                            "L3K12": (12, 6, 3)}.items():
+        shuf = generate_shuffle(k, s, l)
+        params = KssdParams(half_k=k, half_subk=s, drlevel=l)
+        sk = S.DeviceSketcher(params, shuf.shuffled_dim)
+        halo = S.aligned_halo(params)
+        nw = (1 << 17) // 16 + halo // 16 + 2
+        words = rng.integers(0, 2 ** 32, size=(16, nw),
+                             dtype=np.uint64).astype(np.uint32)
+        d2 = jax.device_put(words)
+        dexc = jax.device_put(
+            pad_exceptions(np.empty(0, np.int32), 16 * ((1 << 17) + halo)))
+        vu = jnp.int32(16 * (1 << 17))
+        out = sk._step(d2, dexc, sk.tables, *sk._fresh_buffers(),
+                       jnp.int32(0), vu)
+        jax.block_until_ready(out)
+        N = 30
+        t0 = time.time()
+        for _ in range(N):
+            out = sk._step(d2, dexc, sk.tables, *out, jnp.int32(0), vu)
+        jax.block_until_ready(out)
+        dt = (time.time() - t0) / N
+        emit(f"step:{name}", ms_per_batch=round(dt * 1e3, 2),
+             mbase_per_s=round(16 * (1 << 17) / 1e6 / dt, 0),
+             keep_rep=list(sk.tables[1].shape))
+
+    # membership strategies on one L3K10 batch of dim_ids
+    shuf = generate_shuffle(10, 6, 3)
+    params = KssdParams(half_k=10, half_subk=6, drlevel=3)
+    kept = jnp.asarray(kept_dims_np(shuf.shuffled_dim, params.dim_end))
+    table = jnp.asarray(shuf.shuffled_dim.astype(np.int32))
+    dim_id = jnp.asarray(rng.integers(0, params.dim_size, size=(16, 131104),
+                                      dtype=np.int64).astype(np.int32))
+    strategies = {
+        "member": jax.jit(lambda d: member_kept(d, kept).sum()),
+        "gather": jax.jit(
+            lambda d: (jnp.take(table, d.astype(jnp.int32), axis=0)
+                       < params.dim_end).sum()),
+        "sort": jax.jit(
+            lambda d: sortjoin_keep(d.ravel(), kept)[0].sum()),
+    }
+    if backend == "tpu":
+        from rabbitkssd_tpu.ops.pallas_member import (lane_table_np,
+                                                      member_lane)
+
+        lt = jnp.asarray(lane_table_np(shuf.shuffled_dim, params.dim_end))
+        strategies["lane"] = jax.jit(lambda d: member_lane(d, lt).sum())
+    for name, f in strategies.items():
+        o = f(dim_id)
+        jax.block_until_ready(o)
+        t0 = time.time()
+        for _ in range(20):
+            o = f(dim_id)
+        jax.block_until_ready(o)
+        emit(f"member:{name}", ms=round((time.time() - t0) / 20 * 1e3, 2))
+
+    # flush read round trips
+    buf = jnp.zeros(1 << 23, jnp.uint32)
+    bufs = [buf, jnp.zeros(1 << 23, jnp.int32), jnp.zeros(1 << 23, jnp.int32)]
+    hostxfer.read_prefixes(bufs, 32768)
+    t0 = time.time()
+    for _ in range(5):
+        hostxfer.read_prefixes(bufs, 32768)
+    emit("flush:prefixes", ms=round((time.time() - t0) / 5 * 1e3, 1))
+    hostxfer.read_scalars(jnp.int32(1), jnp.bool_(False))
+    t0 = time.time()
+    for _ in range(5):
+        hostxfer.read_scalars(jnp.int32(1), jnp.bool_(False))
+    emit("flush:scalars", ms=round((time.time() - t0) / 5 * 1e3, 1))
+
+    # distance tile
+    from rabbitkssd_tpu.ops.distance import common_counts
+
+    hashes = [np.unique(rng.integers(0, 1 << 24, size=500)
+                        .astype(np.uint32)) for _ in range(256)]
+    common_counts(hashes[:8], hashes[:8])  # warm
+    t0 = time.time()
+    out = common_counts(hashes, None)
+    emit("counts:256x256", ms=round((time.time() - t0) * 1e3, 0),
+         nnz=int((out > 0).sum()))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--genomes", type=int, default=32)
+    ap.add_argument("--length", type=int, default=2_000_000)
+    ap.add_argument("--host-only", action="store_true")
+    ap.add_argument("--device-only", action="store_true")
+    args = ap.parse_args()
+
+    files = ensure_corpus(args.genomes, args.length)
+    if not args.device_only:
+        probe_host(files)
+    if args.host_only:
+        return 0
+    if not device_healthy():
+        emit("device", skipped="accelerator unhealthy/unreachable")
+        return 0
+    probe_device(files)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
