@@ -34,6 +34,17 @@ for row in mesh.devices:
     procs = {d.process_index for d in row}
     assert len(procs) == 1, f"vp row spans processes {procs}"
 
+# the production default (engine _counts / MeshSketcher) must get the
+# SAME host-local layout: make_mesh delegates to global_mesh under
+# jax.distributed instead of factorizing locality-blind
+from rabbitkssd_tpu.parallel.sharded import make_mesh  # noqa: E402
+
+auto = make_mesh()
+assert auto.devices.shape == mesh.devices.shape, auto.devices.shape
+for row in auto.devices:
+    procs = {d.process_index for d in row}
+    assert len(procs) == 1, f"auto mesh vp row spans processes {procs}"
+
 # --- sharded distance counts vs numpy oracle -----------------------------
 from rabbitkssd_tpu.parallel.sharded import sharded_common_counts  # noqa: E402
 
