@@ -10,6 +10,11 @@
 // separates records with a single -1 sentinel so k-mer windows never
 // span records.
 //
+// Line bodies are processed in BULK (memchr to the next newline, then a
+// branch-free table-map loop over the whole segment) — the per-char
+// state machine only classifies line starts.  This is what makes the
+// parser compete with the reference's kseq throughput per core.
+//
 // Output buffer is malloc'd here; the caller frees with kssd_free().
 
 #include <cstdint>
@@ -47,6 +52,13 @@ struct Buf {
     }
 };
 
+// Length of the bulk-processable prefix of [p, p+len): stops before the
+// first '\r' (rare; handled per-char to preserve skip semantics).
+inline int64_t clean_run(const char *p, int64_t len) {
+    const char *cr = static_cast<const char *>(memchr(p, '\r', len));
+    return cr ? cr - p : len;
+}
+
 }  // namespace
 
 extern "C" {
@@ -79,57 +91,83 @@ int kssd_fasta_codes(const char *path, int least_qual, int8_t **out_codes,
 
     int n;
     while ((n = gzread(f, buf, CHUNK)) > 0) {
-        for (int i = 0; i < n; ++i) {
+        int64_t i = 0;
+        while (i < n) {
             unsigned char ch = buf[i];
-            if (ch == '\n') { at_line_start = true; continue; }
-            if (ch == '\r') continue;
-            if (at_line_start) {
-                at_line_start = false;
-                if (in_qual && qual_len >= seq_len) {
-                    // quality already complete (e.g. empty record):
-                    // close it and reprocess this char as a fresh line
-                    in_qual = false;
-                    in_record = false;
-                }
-                if (in_qual) {
-                    line_kind = 0;  // quality data line
-                } else if (ch == '>' || ch == '@') {
-                    line_kind = 1;
-                    if (any_record) {  // one separator per record boundary
-                        if (!out.grow(1)) { free(buf); gzclose(f); return 2; }
-                        out.data[out.len++] = -1;
+            if (!at_line_start) {
+                // ---- bulk path: the rest of this line ----
+                const char *nl = static_cast<const char *>(
+                    memchr(buf + i, '\n', n - i));
+                int64_t seg_end = nl ? nl - buf : n;
+                int64_t run = clean_run(buf + i, seg_end - i);
+                if (run < seg_end - i) seg_end = i + run;  // stop at '\r'
+                if (run > 0) {
+                    if (line_kind == 0 && in_record) {
+                        if (in_qual) {
+                            int64_t remain = seq_len - qual_len;
+                            int64_t apply = run < remain ? run : remain;
+                            for (int64_t k = 0; k < apply; ++k) {
+                                if ((unsigned char)buf[i + k]
+                                    < (unsigned char)least_qual)
+                                    out.data[seq_start + qual_len + k] = -1;
+                            }
+                            qual_len += run;
+                            if (qual_len >= seq_len) {
+                                in_qual = false;
+                                in_record = false;
+                            }
+                        } else {
+                            if (!out.grow(run)) {
+                                free(buf); gzclose(f); return 2;
+                            }
+                            int8_t *dst = out.data + out.len;
+                            for (int64_t k = 0; k < run; ++k)
+                                dst[k] = BASE_MAP[(unsigned char)buf[i + k]];
+                            out.len += run;
+                            seq_len += run;
+                        }
                     }
-                    any_record = true;
-                    in_record = true;
-                    seq_len = 0;
-                    seq_start = out.len;
-                    continue;
-                } else if (ch == '+' && in_record && !in_qual) {
-                    line_kind = 2;
-                    in_qual = true;
-                    qual_len = 0;
-                    continue;
-                } else {
-                    line_kind = 0;
+                    // header/plus lines and out-of-record bytes: skipped
                 }
+                i = seg_end;
+                if (i < n && buf[i] == '\r') { ++i; continue; }
+                if (i < n) { ++i; at_line_start = true; }  // consume '\n'
+                continue;
             }
-            if (line_kind == 1 || line_kind == 2) continue;  // skip rest of line
-            if (!in_record) continue;
+            // ---- per-char path: the first char of a line ----
+            if (ch == '\n') { at_line_start = true; ++i; continue; }
+            if (ch == '\r') { ++i; continue; }
+            at_line_start = false;
+            if (in_qual && qual_len >= seq_len) {
+                // quality already complete (e.g. empty record):
+                // close it and reprocess this char as a fresh line
+                in_qual = false;
+                in_record = false;
+            }
             if (in_qual) {
-                // quality byte for base at seq_start + qual_len
-                if (qual_len < seq_len) {
-                    if (ch < (unsigned char)least_qual)
-                        out.data[seq_start + qual_len] = -1;
+                line_kind = 0;  // quality data line (bulk handles it)
+                continue;       // re-enter bulk with the same char
+            } else if (ch == '>' || ch == '@') {
+                line_kind = 1;
+                if (any_record) {  // one separator per record boundary
+                    if (!out.grow(1)) { free(buf); gzclose(f); return 2; }
+                    out.data[out.len++] = -1;
                 }
-                ++qual_len;
-                if (qual_len >= seq_len) {
-                    in_qual = false;
-                    in_record = false;
-                }
+                any_record = true;
+                in_record = true;
+                seq_len = 0;
+                seq_start = out.len;
+                ++i;
+                continue;
+            } else if (ch == '+' && in_record && !in_qual) {
+                line_kind = 2;
+                in_qual = true;
+                qual_len = 0;
+                ++i;
+                continue;
             } else {
-                if (!out.grow(1)) { free(buf); gzclose(f); return 2; }
-                out.data[out.len++] = BASE_MAP[ch];
-                ++seq_len;
+                line_kind = 0;
+                continue;  // re-enter bulk with the same char
             }
         }
     }
