@@ -142,3 +142,53 @@ def test_eof_partial_quality_kept(tmp_path):
     got = fasta_codes(p, least_qual=80)
     np.testing.assert_array_equal(got, np.array([-1, 1, 2, 3], np.int8))
     np.testing.assert_array_equal(_python_codes(p, least_qual=80), got)
+
+
+def test_crlf_line_endings(tmp_path):
+    """CRLF input parses identically to LF (the bulk line-segment fast
+    path splits runs at '\\r'; round-2 parser rewrite)."""
+    from rabbitkssd_tpu.native import fasta_packed_chunks
+
+    fa_lf = (b">a desc\nACGTNNACGT\nGGCC\n>b\nacgt\n")
+    fq_lf = (b"@r1\nACGTACGT\n+\nIIIIII!!\n@r2\nGGGG\n+\nIIII\n")
+    for lf, name in ((fa_lf, "x.fna"), (fq_lf, "x.fq")):
+        p_lf = str(tmp_path / name)
+        p_crlf = str(tmp_path / ("crlf_" + name))
+        with open(p_lf, "wb") as f:
+            f.write(lf)
+        with open(p_crlf, "wb") as f:
+            f.write(lf.replace(b"\n", b"\r\n"))
+        for lq in (0, 40):
+            a = fasta_codes(p_lf, lq)
+            b = fasta_codes(p_crlf, lq)
+            np.testing.assert_array_equal(a, b, err_msg=f"{name} lq={lq}")
+        # streaming reader too
+        sa = np.concatenate([np.frombuffer(bytes(c), np.int8) if not
+                             isinstance(c, np.ndarray) else c
+                             for c in _stream_all(p_lf)])
+        sb = np.concatenate(list(_stream_all(p_crlf)))
+        np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+
+
+def _stream_all(path, least_qual=0, chunk=7):
+    """Tiny-chunk pulls through the handle API (stresses boundaries)."""
+    import ctypes as ct
+
+    from rabbitkssd_tpu.native import _bind_stream, load_native
+
+    lib = load_native()
+    _bind_stream(lib)
+    h = lib.kssd_fasta_open(path.encode(), least_qual)
+    assert h
+    try:
+        while True:
+            buf = np.empty(chunk, np.int8)
+            n = lib.kssd_fasta_read_codes(
+                h, buf.ctypes.data_as(ct.POINTER(ct.c_int8)),
+                ct.c_int64(chunk))
+            assert n >= 0
+            if n == 0:
+                return
+            yield buf[:n].copy()
+    finally:
+        lib.kssd_fasta_close(h)
