@@ -22,6 +22,7 @@ so XLA inserts the collectives; no hand-scheduled communication.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -105,9 +106,6 @@ def make_sharded_sketch_step(params: KssdParams, mesh: Mesh, n_blocks: int,
 # sharded distance step
 # --------------------------------------------------------------------------
 
-import functools
-
-
 @functools.lru_cache(maxsize=32)
 def make_sharded_common_step(mesh: Mesh, rows_per_dp: int, n1: int,
                              cols_per_vp: int, cap0: int, cap1: int):
@@ -142,8 +140,6 @@ def make_sharded_common_step(mesh: Mesh, rows_per_dp: int, n1: int,
                   P("vp", None), P("vp", None)),
         out_specs=P("dp", None, None),
     )
-
-    import functools
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(acc, g0, c0, g1, c1):
