@@ -92,11 +92,11 @@ def keep_rep_np(shuffled_dim: np.ndarray, dim_end: int) -> np.ndarray:
         # force > 8192 so the shape dispatch picks the semijoin branch
         pad = max(0, 8193 - len(kept))
         return np.concatenate([kept, np.full(pad, -1, np.int32)])
-    if strategy == "lane" or jax.default_backend() == "tpu":
+    if strategy in ("lane", "fused") or jax.default_backend() == "tpu":
         from ..ops.pallas_member import lane_table_np
 
         lt = lane_table_np(shuffled_dim, dim_end)
-        if strategy == "lane" or lt.shape[0] <= 512:
+        if strategy in ("lane", "fused") or lt.shape[0] <= 512:
             return lt
         return kept  # too many rounds on TPU -> sortjoin branch
     return np.zeros((1, 1), np.int32)  # CPU backends -> gather
@@ -172,10 +172,27 @@ def _stream_step_body(params: KssdParams, cap: int, buf_cap: int,
         # gather fallback.
         use_gather = kept.ndim == 2 and kept.shape[0] == 1
         use_lane = kept.ndim == 2 and not use_gather
+        # fused Pallas kernel (windows + membership in one VMEM pass),
+        # opt-in until TPU-validated; same contract as the lane path
+        use_fused = (use_lane and os.environ.get("KSSD_KEEP_STRATEGY")
+                     == "fused")
         use_sort = kept.ndim == 1 and kept.shape[0] > 8192
         use_member = not use_gather
         sorted_space = None
-        if use_member:
+        if use_fused:
+            from ..ops.kmer import _windows_all_valid
+            from ..ops.pallas_window import fused_window_keep
+
+            hit, dim_id, uni_lo, uni_hi = fused_window_keep(
+                words, kept, params,
+                interpret=jax.default_backend() != "tpu")
+            ok = _windows_all_valid(valid.astype(jnp.int32),
+                                    params.kmer_size)
+            keep = (ok & hit)[:, halo:].ravel()
+            uni_lo = uni_lo[:, halo:].ravel()
+            uni_hi = uni_hi[:, halo:].ravel()
+            dim_id = dim_id[:, halo:].ravel()
+        elif use_member:
             uni_lo, uni_hi, dim_id, ok = hasher.windows(words, valid)
             uni_lo = uni_lo[:, halo:].ravel()
             uni_hi = uni_hi[:, halo:].ravel()
