@@ -326,6 +326,11 @@ def make_sharded_stream_step(params: KssdParams, mesh, n_blocks: int,
         in_specs=(P(axes), P(axes), P(), P(axes), P(axes), P(axes),
                   P(axes), P(axes), P(axes), P(), P(axes)),
         out_specs=(P(axes),) * 6,
+        # the Pallas keep-test kernels mix replicated (lane table) and
+        # sharded operands; interpret-mode replay trips jax 0.9's vma
+        # checker on kernel-internal constants — the step is purely
+        # per-shard (no collectives), so the check adds nothing here
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(3, 4, 5, 6, 7, 8))
 

@@ -85,7 +85,12 @@ def _member_kernel(R: int, tab_ref, d_ref, out_ref):
         tv = _lane_gather(jnp.broadcast_to(row, dv.shape), idx)
         return acc | (tv == dv)
 
+    # interpret mode replays the body under shard_map, where constants
+    # must carry the inputs' mesh-axis variance (vma)
+    vma = tuple(getattr(jax.typeof(dv), "vma", ()) or ())
     acc = jnp.zeros(dv.shape, jnp.bool_)
+    if vma:
+        acc = jax.lax.pvary(acc, vma)
     if R <= _UNROLL_MAX:
         for r in range(R):
             acc = compare_row(tab_ref[r : r + 1, :], acc)
@@ -105,6 +110,9 @@ def _member_call(d2, lane_tab, interpret: bool):
 
     M = d2.shape[0]
     R = lane_tab.shape[0]
+    # under shard_map the output aval must declare which mesh axes it
+    # varies over (jax >= 0.9 check_vma); inherit the input's vma
+    vma = getattr(jax.typeof(d2), "vma", frozenset())
     # trace with x64 disabled: under jax_enable_x64 the BlockSpec index
     # maps produce i64 scalars, which Mosaic cannot lower; all kernel
     # dtypes here are explicit 32-bit so semantics are unchanged
@@ -120,7 +128,8 @@ def _member_call(d2, lane_tab, interpret: bool):
             ],
             out_specs=pl.BlockSpec((_SUB, _LANES), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((M, _LANES), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((M, _LANES), jnp.int32,
+                                           vma=vma),
             interpret=interpret,
         )(lane_tab, d2)
     return out

@@ -63,6 +63,14 @@ def _extract_field(lo, hi, start: int, width: int):
     return v & mask
 
 
+def _match_vma(x, like):
+    """Give a kernel-internal constant the mesh-axis variance of an
+    input (interpret mode replays the body under shard_map, where mixed
+    vma operands are rejected; compiled Mosaic is unaffected)."""
+    vma = tuple(getattr(jax.typeof(like), "vma", ()) or ())
+    return jax.lax.pvary(x, vma) if vma else x
+
+
 def _window_kernel(K: int, TB: int, hoc2: int, subk4: int,
                    dimsize_mask: int, R: int,
                    tab_ref, a_ref, b_ref, c_ref,
@@ -79,7 +87,7 @@ def _window_kernel(K: int, TB: int, hoc2: int, subk4: int,
     sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANES), 1)
     pos = (i * _SUB + sub) * _LANES + lane
-    sh = (2 * ((pos - (K - 1)) & 15)).astype(_U32)
+    sh = _match_vma((2 * ((pos - (K - 1)) & 15)).astype(_U32), a)
     nz = sh != 0
     ish = _U32(32) - sh
     e_lo = jnp.where(nz, (a >> sh) | (b << ish), a)
@@ -117,7 +125,7 @@ def _window_kernel(K: int, TB: int, hoc2: int, subk4: int,
               & jnp.uint32(dimsize_mask)).astype(jnp.int32)
 
     idx = dim_id & (_LANES - 1)
-    acc = jnp.zeros(dim_id.shape, jnp.bool_)
+    acc = _match_vma(jnp.zeros(dim_id.shape, jnp.bool_), a)
     for r in range(R):
         tv = _lane_gather(jnp.broadcast_to(tab_ref[r: r + 1, :],
                                            dim_id.shape), idx)
@@ -138,6 +146,9 @@ def _fused_call(a, b, c, lane_tab, K: int, TB: int, hoc2: int, subk4: int,
 
     M = a.shape[0]  # [M, 128]
     R = lane_tab.shape[0]
+    # under shard_map the output avals must declare their mesh-axis
+    # variance (jax >= 0.9 check_vma); inherit the inputs' vma
+    vma = getattr(jax.typeof(a), "vma", frozenset())
     kern = functools.partial(_window_kernel, K, TB, hoc2, subk4,
                              dimsize_mask, R)
     with jax.enable_x64(False):
@@ -164,10 +175,10 @@ def _fused_call(a, b, c, lane_tab, K: int, TB: int, hoc2: int, subk4: int,
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((M, _LANES), jnp.int8),
-                jax.ShapeDtypeStruct((M, _LANES), jnp.int32),
-                jax.ShapeDtypeStruct((M, _LANES), jnp.uint32),
-                jax.ShapeDtypeStruct((M, _LANES), jnp.uint32),
+                jax.ShapeDtypeStruct((M, _LANES), jnp.int8, vma=vma),
+                jax.ShapeDtypeStruct((M, _LANES), jnp.int32, vma=vma),
+                jax.ShapeDtypeStruct((M, _LANES), jnp.uint32, vma=vma),
+                jax.ShapeDtypeStruct((M, _LANES), jnp.uint32, vma=vma),
             ),
             interpret=interpret,
         )(lane_tab, a, b, c)

@@ -66,3 +66,27 @@ def test_sketch_with_fused_strategy(monkeypatch, rng):
     assert base_n == fused_n == len(genomes)
     for a, b in zip(base_h, fused_h):
         np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_sketch_with_fused_strategy(monkeypatch, rng):
+    """The fused kernel composes under shard_map (multi-device mesh)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device backend")
+    from rabbitkssd_tpu.engine.sketcher import (DeviceSketcher,
+                                                ShardedSketcher)
+
+    shuf = generate_shuffle(8, 6, 3)
+    params = KssdParams(half_k=8, half_subk=6, drlevel=3)
+    genomes = [rng.integers(0, 4, size=n).astype(np.int8)
+               for n in (6000, 2500)]
+    monkeypatch.setenv("KSSD_KEEP_STRATEGY", "fused")
+    sk = ShardedSketcher(params, shuf.shuffled_dim, n_blocks=1, block=2048)
+    got, n = sk.sketch_codes(iter([g.copy() for g in genomes]))
+    monkeypatch.delenv("KSSD_KEEP_STRATEGY")
+    ref = DeviceSketcher(params, shuf.shuffled_dim, n_blocks=2, block=2048)
+    want, _ = ref.sketch_codes(iter(genomes))
+    assert n == len(genomes)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
