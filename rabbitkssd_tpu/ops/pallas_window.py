@@ -126,10 +126,18 @@ def _window_kernel(K: int, TB: int, hoc2: int, subk4: int,
 
     idx = dim_id & (_LANES - 1)
     acc = _match_vma(jnp.zeros(dim_id.shape, jnp.bool_), a)
-    for r in range(R):
-        tv = _lane_gather(jnp.broadcast_to(tab_ref[r: r + 1, :],
-                                           dim_id.shape), idx)
-        acc = acc | (tv == dim_id)
+
+    def compare_row(row, acc):
+        tv = _lane_gather(jnp.broadcast_to(row, dim_id.shape), idx)
+        return acc | (tv == dim_id)
+
+    if R <= 64:
+        for r in range(R):
+            acc = compare_row(tab_ref[r: r + 1, :], acc)
+    else:
+        acc = jax.lax.fori_loop(
+            0, R, lambda r, s: compare_row(tab_ref[pl.ds(r, 1), :], s),
+            acc)
 
     hit_ref[:] = acc.astype(jnp.int8)
     dim_ref[:] = dim_id
