@@ -138,45 +138,56 @@ def _alldist_block_rows(names, sizes, common_blk: np.ndarray, i0: int,
     """Upper-triangle rows for global genomes [i0, i0+R) given their
     count rows vs ALL genomes (common_blk [R, n]).
 
-    The ``< maxDist`` prefilter is vectorized over the whole strip in
-    column chunks (a per-row loop costs minutes at 100k genomes);
-    surviving candidates are recomputed with the exact scalar libm
-    semantics in emission order (i-major, j ascending — np.nonzero's
-    row-major order)."""
+    The ``< maxDist`` prefilter is vectorized over row GROUPS of the
+    strip (a per-row loop costs minutes at 100k genomes; the group
+    height bounds temporaries to ~128 MB), and ``np.nonzero``'s
+    row-major order makes emission i-major with j ascending — the
+    reference's deterministic row order (dist.cpp:206-256).  Surviving
+    candidates are recomputed with the exact scalar libm semantics.
+
+    Yields an int genome marker before each genome's rows — the
+    :func:`_write_rows` part-index protocol (every genome in [i0,
+    i0+R) yields exactly one marker, rows or not)."""
     n = len(names)
     R = common_blk.shape[0]
     f = _containment_aaf if containment else _jaccard_mash
-    for bi in range(R):
-        if (i0 + bi) % step == 0:
-            print(f"=====finish: {i0 + bi}", file=sys.stderr)
     include_zero = 1.0 < max_dist  # j==0 -> d := 1.0 emits iff 1.0 < D
-    width = max(1, (1 << 24) // max(R, 1))  # bound chunk temps to ~128MB
-    for j0 in range(i0 + 1, n, width):
-        j1 = min(n, j0 + width)
-        cblk = common_blk[:, j0:j1]
+    rg = max(1, (1 << 24) // max(n, 1))  # rows per vectorized group
+    for g0 in range(0, R, rg):
+        g1 = min(R, g0 + rg)
+        cblk = common_blk[g0:g1]
         if include_zero:
-            bi_nz, dj_nz = np.nonzero(
-                (j0 + np.arange(j1 - j0)[None, :]) > i0 + np.arange(R)[:, None]
+            bi_nz, j_nz = np.nonzero(
+                np.arange(n)[None, :]
+                > i0 + g0 + np.arange(g1 - g0)[:, None]
             )
         else:
             # candidates need common > 0: gather the sparse entries only
-            bi_nz, dj_nz = np.nonzero(cblk)
-            tri = (j0 + dj_nz) > (i0 + bi_nz)
-            bi_nz, dj_nz = bi_nz[tri], dj_nz[tri]
-        vals = cblk[bi_nz, dj_nz]
-        s0v = sizes[i0 + bi_nz]
-        s1v = sizes[j0 + dj_nz]
-        sel = _candidate_mask(vals, s0v, s1v, kmer_size, max_dist,
-                              containment, strict=True)
-        for bi, dj, c in zip(bi_nz[sel], dj_nz[sel], vals[sel]):
-            i = i0 + int(bi)
-            j = j0 + int(dj)
-            jorc, d = f(int(c), int(sizes[i]), int(sizes[j]), kmer_size)
-            if d < max_dist:
-                yield (
-                    f"{names[j]}\t{names[i]}\t{int(c)}|"
-                    f"{int(sizes[i])}|{int(sizes[j])}\t{_d6(jorc)}\t{_d6(d)}\n"
-                )
+            bi_nz, j_nz = np.nonzero(cblk)
+            tri = j_nz > i0 + g0 + bi_nz
+            bi_nz, j_nz = bi_nz[tri], j_nz[tri]
+        vals = cblk[bi_nz, j_nz]
+        sel = _candidate_mask(vals, sizes[i0 + g0 + bi_nz], sizes[j_nz],
+                              kmer_size, max_dist, containment,
+                              strict=True)
+        bi_s, j_s, v_s = bi_nz[sel], j_nz[sel], vals[sel]
+        # candidate run boundaries per row (bi_s is sorted: row-major)
+        bounds = np.searchsorted(bi_s, np.arange(g1 - g0 + 1))
+        for r in range(g1 - g0):
+            i = i0 + g0 + r
+            if i % step == 0:
+                print(f"=====finish: {i}", file=sys.stderr)
+            yield i
+            si = int(sizes[i])
+            for t in range(int(bounds[r]), int(bounds[r + 1])):
+                j = int(j_s[t])
+                c = int(v_s[t])
+                jorc, d = f(c, si, int(sizes[j]), kmer_size)
+                if d < max_dist:
+                    yield (
+                        f"{names[j]}\t{names[i]}\t{c}|"
+                        f"{si}|{int(sizes[j])}\t{_d6(jorc)}\t{_d6(d)}\n"
+                    )
 
 
 def alldist_rows(sk: SketchSet, common: np.ndarray, kmer_size: int,
@@ -272,6 +283,7 @@ def dist_rows(ref: SketchSet, query: SketchSet, common: np.ndarray,
     for i in range(len(qnames)):
         if (progress_offset + i) % step == 0:
             print(f"=====finish: {progress_offset + i}", file=sys.stderr)
+        yield progress_offset + i  # _write_rows part-index marker
         size1 = int(qsizes[i])
         crow = common[i]
         if is_neighbor:
@@ -299,32 +311,98 @@ def dist_rows(ref: SketchSet, query: SketchSet, common: np.ndarray,
                 )
 
 
+def _strip_part0_header(path: str) -> None:
+    """Drop the HEADER bytes written at part-0 open (the reference's
+    part files carry no header, dist.cpp:153-156) — a one-time copy of
+    at most one part, paid only on >4 GiB outputs."""
+    tmp = path + ".strip"
+    with open(path, "rb") as src, open(tmp, "wb") as dst:
+        src.seek(len(HEADER))
+        while True:
+            buf = src.read(1 << 24)
+            if not buf:
+                break
+            dst.write(buf)
+    os.replace(tmp, path)
+
+
 def _write_rows(rows, names: list[str], output_file: str) -> None:
-    """Write header + rows; split into .dir + .index beyond 4 GiB
-    (dist.cpp:276-341)."""
-    tmp = output_file + ".part0"
-    total = 0
-    with open(tmp, "w") as f:
-        for r in rows:
-            total += f.write(r)
-    if total <= MAX_SINGLE_FILE:
-        with open(output_file, "w") as out, open(tmp) as src:
-            out.write(HEADER)
-            while True:
-                buf = src.read(1 << 24)
-                if not buf:
-                    break
-                out.write(buf)
-        os.remove(tmp)
-    else:
-        folder = output_file + ".dir"
-        os.makedirs(folder, exist_ok=True)
-        part = os.path.join(folder, os.path.basename(output_file) + ".0")
-        os.replace(tmp, part)
-        with open(output_file + ".index", "w") as f:
-            f.write("genomeName\tdistFileName\n")
-            for name in names:
-                f.write(f"{name}\t{part}\n")
+    """Single-pass writer with the reference's 4 GiB split contract
+    (dist.cpp:276-341).
+
+    ``rows`` yields str rows interleaved with int genome markers (the
+    global index of the genome whose rows follow; every processed
+    genome yields exactly one marker).  Rows stream straight into part
+    files under ``<out>.dir/`` — part 0 opens with the header so the
+    common (<= 4 GiB) outcome is a rename, not a copy — rolling to a
+    new part at a genome boundary whenever the current part would
+    exceed 4 GiB, so no part file ever does (unless a single genome's
+    rows alone do).  Oversized outputs are left as the part directory
+    plus an ``<out>.index`` mapping each genome to the part holding
+    its rows (reference dist.cpp:178,316-338: one index line per
+    genome, pointing at the subfile its thread owned).  Markerless
+    streams are accepted (single part; every genome maps to it).
+    """
+    folder = output_file + ".dir"
+    base = os.path.basename(output_file)
+    os.makedirs(folder, exist_ok=True)
+    parts: list[str] = []
+    fp = None
+    cur = 0    # row bytes in the current part (part 0's header excluded)
+    total = 0  # row bytes overall — the reference's merge test input
+    owner: dict[int, int] = {}  # genome index -> part index
+    buf: list[str] = []
+    bb = 0
+    pending: int | None = None
+
+    def open_part() -> None:
+        nonlocal fp, cur
+        if fp is not None:
+            fp.close()
+        path = os.path.join(folder, f"{base}.{len(parts)}")
+        parts.append(path)
+        fp = open(path, "w")
+        if len(parts) == 1:
+            fp.write(HEADER)  # stripped again iff the output splits
+        cur = 0
+
+    open_part()
+
+    def flush() -> None:
+        """Write the pending genome's buffered rows (rolling parts at
+        this genome boundary if needed) and record its part."""
+        nonlocal bb, cur, total, buf, pending
+        if bb and cur and cur + bb > MAX_SINGLE_FILE:
+            open_part()
+        if buf:
+            fp.write("".join(buf))
+            cur += bb
+            total += bb
+            buf = []
+            bb = 0
+        if pending is not None:
+            owner[pending] = len(parts) - 1
+            pending = None
+
+    for item in rows:
+        if type(item) is str:
+            buf.append(item)
+            bb += len(item)
+        else:
+            flush()
+            pending = item
+    flush()
+    fp.close()
+
+    if total <= MAX_SINGLE_FILE and len(parts) == 1:
+        os.replace(parts[0], output_file)
+        os.rmdir(folder)
+        return
+    _strip_part0_header(parts[0])
+    with open(output_file + ".index", "w") as f:
+        f.write("genomeName\tdistFileName\n")
+        for gi, name in enumerate(names):
+            f.write(f"{name}\t{parts[owner.get(gi, 0)]}\n")
 
 
 def _counts(hashes0, hashes1, vocab0=None):

@@ -115,18 +115,22 @@ def make_stream_step(params: KssdParams, n_blocks: int, block: int, cap: int,
     each step appends its compacted survivors into donated carry buffers
     on device; the host reads one large slab at flush time.
 
-    (codes, table, buf_lo, buf_hi, buf_pos, buf_batch, count, overflow,
-     batch_idx) -> (buf_lo, buf_hi, buf_pos, buf_batch, count, overflow)
+    (words, exc, tables, buf_lo, buf_hi, buf_pos, buf_batch, count,
+     overflow, batch_idx, valid_upto)
+      -> (buf_lo, buf_hi, buf_pos, buf_batch, count, overflow)
 
     buf_*: int32/uint32[buf_cap] carry (donated); count: device scalar
     write offset; overflow: sticky flag (batch survivors > cap, or
     buffer full) — checked once per flush, triggering an exact re-run.
 
-    Inputs arrive 2-bit packed (packed2 u8[n_blocks, (block+halo)/4]) plus
-    a padded list of invalid flat positions (exc i32[cap_exc], pads out of
-    range) — the host->device link is the throughput bottleneck on
-    tunnel-attached chips; unpacking and the validity scatter run on
-    device.  ``halo`` is the 8-aligned :func:`aligned_halo`.
+    Inputs arrive as the WordTapeFeeder's u32 word batches (words
+    u32[n_blocks, nw], 16 bases per word, each row carrying an
+    ``aligned_halo``-base overlap into its predecessor) plus a padded
+    list of invalid flat positions (exc i32[cap_exc], pads out of
+    range) and the traced ``valid_upto`` payload watermark masking the
+    tape tail of a final partial batch — the host->device link is the
+    throughput bottleneck on tunnel-attached chips; window extraction
+    and the validity scatter run on device.
     """
     return jax.jit(_stream_step_body(params, cap, buf_cap, compaction),
                    donate_argnums=(3, 4, 5, 6, 7, 8))
@@ -372,6 +376,17 @@ class WordTapeFeeder:
     mapping; invalid positions are carried as tape coordinates and
     emitted per batch in halo'd-row flat coordinates (a position in the
     last ``halo`` of a block also appears in the next row's halo).
+
+    Cross-thread invariant: ``starts``/``ends`` are APPEND-ONLY, written
+    solely by the producer thread that calls :meth:`next_batch`, and a
+    genome's entries are appended before the batch covering its tape
+    span is returned.  The GenomeFinalizer's flusher thread reads them
+    without a lock — safe because list appends are atomic under the GIL
+    and the flusher only inspects spans at or below an already-flushed
+    batch watermark, which the producer completed before dispatching
+    that batch.  Any refactor that mutates entries in place, reorders
+    flushes ahead of ingestion, or drops the GIL (free-threaded Python)
+    must add a snapshot-under-lock here.
     """
 
     def __init__(self, sources, n_blocks: int, block: int, halo: int):

@@ -278,17 +278,19 @@ def read_index_csr(sketch_path: str, use64: bool):
             order = np.argsort(vocab, kind="stable")
             ends = np.cumsum(seg_counts)
             starts = ends - seg_counts
-            new_postings = np.empty_like(postings)
-            pos = 0
-            # gather posting segments into sorted-vocab order
+            # gather posting segments into sorted-vocab order with one
+            # fancy index: src[i] = start-of-segment + offset-within-it
+            # (a per-segment Python loop is O(n_vocab) interpreted work —
+            # minutes at multi-million-slot mammal scale)
             new_counts = seg_counts[order]
-            for oi in order:
-                n = int(seg_counts[oi])
-                new_postings[pos : pos + n] = postings[starts[oi] : ends[oi]]
-                pos += n
+            new_ends = np.cumsum(new_counts)
+            within = np.arange(postings.size, dtype=np.int64) - np.repeat(
+                new_ends - new_counts, new_counts
+            )
+            src = np.repeat(starts[order], new_counts) + within
+            postings = postings[src]
             vocab = vocab[order]
             seg_counts = new_counts
-            postings = new_postings
         vocab = vocab.astype(np.uint64)
     else:
         occupied = np.nonzero(counts)[0]

@@ -118,6 +118,56 @@ def test_write_rows_4gb_split(tmp_path, monkeypatch):
     assert len(idx) == 7
 
 
+def test_write_rows_multipart(tmp_path, monkeypatch):
+    """With genome markers, oversized outputs roll to a NEW part at a
+    genome boundary so no part exceeds the threshold, and the .index
+    maps each genome to the part holding its rows."""
+    import rabbitkssd_tpu.engine.dist_engine as de
+
+    row = "gA\tgB\t1|2|3\t0.100000\t0.200000\n"   # 28 bytes
+    monkeypatch.setattr(de, "MAX_SINGLE_FILE", 4 * len(row) + 1)
+
+    def gen():
+        for g in range(4):
+            yield g
+            for _ in range(2):  # 2 rows per genome, 2 genomes per part
+                yield row
+
+    out = str(tmp_path / "big.dist")
+    de._write_rows(gen(), [f"g{i}" for i in range(4)], out)
+    assert not os.path.exists(out)
+    p0 = os.path.join(out + ".dir", "big.dist.0")
+    p1 = os.path.join(out + ".dir", "big.dist.1")
+    for p in (p0, p1):
+        with open(p) as f:
+            assert f.readlines() == [row] * 4  # no header in any part
+    with open(out + ".index") as f:
+        idx = f.readlines()
+    assert idx == ["genomeName\tdistFileName\n",
+                   f"g0\t{p0}\n", f"g1\t{p0}\n",
+                   f"g2\t{p1}\n", f"g3\t{p1}\n"]
+
+
+def test_write_rows_single_pass_merge(tmp_path):
+    """Small outputs are written once and renamed (no spool-then-copy):
+    the .dir is gone and the file is header + rows."""
+    import rabbitkssd_tpu.engine.dist_engine as de
+
+    out = str(tmp_path / "small.dist")
+    rows = ["gA\tgB\t1|2|3\t0.100000\t0.200000\n"]
+
+    def gen():
+        yield 0
+        yield rows[0]
+        yield 1
+
+    de._write_rows(gen(), ["gA", "gB"], out)
+    assert not os.path.exists(out + ".dir")
+    assert not os.path.exists(out + ".index")
+    with open(out) as f:
+        assert f.readlines() == [de.HEADER] + rows
+
+
 def test_alldist_two_axis_blocked(tmp_path, monkeypatch):
     """The two-axis-tiled path must emit identical rows to the
     monolithic one (config-5 bounded-memory tiling)."""

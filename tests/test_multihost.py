@@ -31,6 +31,12 @@ def _free_port() -> int:
 def _child_env(pid: int, port: int) -> dict:
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # force CPU backend
+    # the package may be importable only from the repo root (no editable
+    # install in a fresh environment) — the child runs with cwd=tests/
+    repo_root = os.path.dirname(HERE)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo_root, env.get("PYTHONPATH")) if p
+    )
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
     env["JAX_NUM_PROCESSES"] = "2"
