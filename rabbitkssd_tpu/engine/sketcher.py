@@ -92,11 +92,11 @@ def keep_rep_np(shuffled_dim: np.ndarray, dim_end: int) -> np.ndarray:
         # force > 8192 so the shape dispatch picks the semijoin branch
         pad = max(0, 8193 - len(kept))
         return np.concatenate([kept, np.full(pad, -1, np.int32)])
-    if strategy in ("lane", "fused") or jax.default_backend() == "tpu":
+    if strategy == "lane" or jax.default_backend() == "tpu":
         from ..ops.pallas_member import lane_table_np
 
         lt = lane_table_np(shuffled_dim, dim_end)
-        if strategy in ("lane", "fused") or lt.shape[0] <= 512:
+        if strategy == "lane" or lt.shape[0] <= 512:
             return lt
         return kept  # too many rounds on TPU -> sortjoin branch
     return np.zeros((1, 1), np.int32)  # CPU backends -> gather
@@ -176,27 +176,14 @@ def _stream_step_body(params: KssdParams, cap: int, buf_cap: int,
         # gather fallback.
         use_gather = kept.ndim == 2 and kept.shape[0] == 1
         use_lane = kept.ndim == 2 and not use_gather
-        # fused Pallas kernel (windows + membership in one VMEM pass),
-        # opt-in until TPU-validated; same contract as the lane path
-        use_fused = (use_lane and os.environ.get("KSSD_KEEP_STRATEGY")
-                     == "fused")
+        # NB a fused Pallas windows+membership kernel was built and
+        # TPU-measured in rounds 2-3: identical step time to the lane
+        # kernel (5.3 ms/batch both — the step is bound elsewhere), so
+        # it was deleted rather than kept as a second code path.
         use_sort = kept.ndim == 1 and kept.shape[0] > 8192
         use_member = not use_gather
         sorted_space = None
-        if use_fused:
-            from ..ops.kmer import _windows_all_valid
-            from ..ops.pallas_window import fused_window_keep
-
-            hit, dim_id, uni_lo, uni_hi = fused_window_keep(
-                words, kept, params,
-                interpret=jax.default_backend() != "tpu")
-            ok = _windows_all_valid(valid.astype(jnp.int32),
-                                    params.kmer_size)
-            keep = (ok & hit)[:, halo:].ravel()
-            uni_lo = uni_lo[:, halo:].ravel()
-            uni_hi = uni_hi[:, halo:].ravel()
-            dim_id = dim_id[:, halo:].ravel()
-        elif use_member:
+        if use_member:
             uni_lo, uni_hi, dim_id, ok = hasher.windows(words, valid)
             uni_lo = uni_lo[:, halo:].ravel()
             uni_hi = uni_hi[:, halo:].ravel()
@@ -678,9 +665,15 @@ class DeviceSketcher:
     """Streams genomes through the device sketch step and collects sketches."""
 
     def __init__(self, params: KssdParams, shuffled_dim: np.ndarray,
-                 n_blocks: int = 16, block: int = 1 << 17,
+                 n_blocks: int | None = None, block: int = 1 << 17,
                  least_qual: int = 0, least_num_kmer: int = 1,
                  buf_cap: int = 1 << 23, threads: int = 0):
+        if n_blocks is None:
+            # 8.4 Mbase batches on TPU: fewer dispatches/transfer round
+            # trips on the relay link (215 vs 174 Mbase/s measured on
+            # the pre-parsed 256-genome corpus, round 3); CPU backends
+            # keep smaller batches so tests stay light
+            n_blocks = 64 if jax.default_backend() == "tpu" else 16
         self.params = params
         self.least_qual = least_qual
         self.least_num_kmer = least_num_kmer
@@ -741,10 +734,17 @@ class DeviceSketcher:
         hash_chunks: list[np.ndarray] = []
         finalizer = GenomeFinalizer(feeder, p, self.least_num_kmer)
 
-        # flush window: batches per carry-buffer drain, additionally
-        # bounded because each pending batch pins its packed words on
-        # host (kept only for the rare overflow re-run)
-        window = max(1, min((self.buf_cap // self.cap) - 1, 64))
+        # flush window: batches per carry-buffer drain.  Large by
+        # default: on relay-attached TPUs the FIRST device->host read
+        # permanently drops the H2D link from ~850 to ~50 MB/s
+        # (measured round 3), so deferring the first flush until the
+        # whole corpus is staged keeps every upload on the fast path
+        # for corpora up to window*block bases (~1 Gbase at defaults).
+        # Each pending batch pins its packed words on host (~0.5 MB,
+        # kept only for the rare overflow re-run) — KSSD_FLUSH_WINDOW
+        # bounds that and the survivor-accumulation footprint.
+        window = max(1, min((self.buf_cap // self.cap) - 1,
+                            int(os.environ.get("KSSD_FLUSH_WINDOW", 512))))
         pending: list[_TapeBatch] = []
         bufs = self._fresh_buffers()
 

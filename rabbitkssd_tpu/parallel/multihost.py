@@ -36,6 +36,13 @@ def init_multihost(coordinator: str | None = None,
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not coordinator:
         return
+    # idempotent: one process may enter the CLI multiple times (e.g.
+    # sketch then alldist in one driver program); jax.distributed may
+    # only initialize once per process
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         n_cpu = int(os.environ.get("KSSD_CPU_DEVICES", "1"))
         if n_cpu > 1:

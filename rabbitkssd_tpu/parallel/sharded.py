@@ -107,43 +107,73 @@ def make_sharded_sketch_step(params: KssdParams, mesh: Mesh, n_blocks: int,
 # --------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=32)
-def make_sharded_common_step(mesh: Mesh, rows_per_dp: int, n1: int,
+def make_sharded_common_step(mesh: Mesh, rows_per_dp: int, n1_per_dp: int,
                              cols_per_vp: int, cap0: int, cap1: int):
     """Intersection counts with genome rows on dp and vocab columns on vp.
 
+    BOTH sides shard over the mesh — side 0's rows and side 1's rows
+    each split across dp (nothing is replicated, so per-device memory
+    stays flat as the corpus grows).  Side 1 rotates around the dp ring
+    with ``ppermute`` (the standard TPU ring-matmul: each of the dp
+    steps multiplies the local side-0 membership against one visiting
+    side-1 shard, then passes that shard to the next device over ICI),
+    and each product is psum-reduced over vp — the reference's
+    per-thread partial counters (dist.cpp:143) as ICI collectives.
+
     Inputs (host-prepared, padded):
-      g0 int32[dp, vp, cap0]  row ids (local to the dp shard)
+      g0 int32[dp, vp, cap0]  side-0 row ids (local to the dp shard)
       c0 int32[dp, vp, cap0]  column ids (local to the vp slice; pads
                               carry cols_per_vp -> dropped)
-      g1, c1 int32[vp, cap1]  the "other side", sharded over vp only
-                              (replicated across dp)
-    Output int32[dp * rows_per_dp, n1]: true counts after psum over vp.
+      g1, c1 int32[dp, vp, cap1]  side 1, same layout (row ids local
+                              to its dp shard of n1_per_dp genomes)
+    Output int32[dp, rows_per_dp, dp * n1_per_dp]: true counts.
     """
+    dp = mesh.devices.shape[0]
+    ring = [(i, (i + 1) % dp) for i in range(dp)]
 
     def shard_fn(acc, g0, c0, g1, c1):
         m0 = jnp.zeros((rows_per_dp, cols_per_vp), jnp.bfloat16)
         m0 = m0.at[g0[0, 0], c0[0, 0]].set(1, mode="drop",
                                            unique_indices=True)
-        m1 = jnp.zeros((n1, cols_per_vp), jnp.bfloat16)
-        m1 = m1.at[g1[0], c1[0]].set(1, mode="drop", unique_indices=True)
-        part = jax.lax.dot_general(
-            m0, m1, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # per-thread partial counters -> ICI all-reduce (dist.cpp:143)
-        return acc + jax.lax.psum(part.astype(jnp.int32), "vp")[None]
+        me = jax.lax.axis_index("dp")
+
+        def ring_step(i, carry):
+            acc, g1c, c1c = carry
+            m1 = jnp.zeros((n1_per_dp, cols_per_vp), jnp.bfloat16)
+            m1 = m1.at[g1c, c1c].set(1, mode="drop", unique_indices=True)
+            part = jax.lax.dot_general(
+                m0, m1, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            part = jax.lax.psum(part.astype(jnp.int32), "vp")
+            # each ppermute sends shards forward (d -> d+1), so after i
+            # rotations I hold the shard that STARTED at dp index me - i
+            col0 = (jnp.mod(me - i, dp) * n1_per_dp).astype(jnp.int32)
+            row0 = jnp.int32(0)
+            acc = jax.lax.dynamic_update_slice(
+                acc, (jax.lax.dynamic_slice(
+                    acc, (row0, col0), (rows_per_dp, n1_per_dp))
+                    + part),
+                (row0, col0))
+            g1c = jax.lax.ppermute(g1c, "dp", ring)
+            c1c = jax.lax.ppermute(c1c, "dp", ring)
+            return acc, g1c, c1c
+
+        acc, _, _ = jax.lax.fori_loop(
+            0, dp, ring_step, (acc[0], g1[0, 0], c1[0, 0]))
+        return acc[None]
 
     sharded = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P("dp", None, None),
                   P("dp", "vp", None), P("dp", "vp", None),
-                  P("vp", None), P("vp", None)),
+                  P("dp", "vp", None), P("dp", "vp", None)),
         out_specs=P("dp", None, None),
     )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(acc, g0, c0, g1, c1):
-        # acc int32[dp, rows_per_dp, n1] (donated device carry)
+        # acc int32[dp, rows_per_dp, dp * n1_per_dp] (donated carry)
         return sharded(acc, g0, c0, g1, c1)
 
     return step
@@ -154,8 +184,10 @@ def sharded_common_counts(hashes0: list[np.ndarray],
                           mesh: Mesh, vocab0=None) -> np.ndarray:
     """Mesh-parallel version of ops.distance.common_counts.
 
-    Rows of side 0 shard over dp; the vocabulary shards over vp; side 1
-    is replicated across dp.  Exact (same math as the single-chip path).
+    Rows of BOTH sides shard over dp (side 1 rotates around the dp ring
+    with ppermute — nothing replicated, per-device memory flat in the
+    corpus); the vocabulary shards over vp.  Exact (same math as the
+    single-chip path).
     """
     from ..ops.distance import _memberships
 
@@ -196,17 +228,18 @@ def sharded_common_counts(hashes0: list[np.ndarray],
 
     dp, vp = mesh.devices.shape
     rows_per_dp = -(-n0 // dp)
+    n1_per_dp = -(-n1 // dp)
     # memory-based auto-sizing of the vocab slice per device: the two
-    # membership matrices hold (rows_per_dp + n1) * cols_per_vp bf16 per
-    # device — cap that at KSSD_DIST_MEM_BYTES (default 4 GiB) and
-    # iterate vocab CHUNKS of vp * cols_per_vp columns, accumulating in
-    # a donated device carry (one readback total).  Without this, a
+    # membership matrices hold (rows_per_dp + n1_per_dp) * cols_per_vp
+    # bf16 per device — cap that at KSSD_DIST_MEM_BYTES (default 4 GiB)
+    # and iterate vocab CHUNKS of vp * cols_per_vp columns, accumulating
+    # in a donated device carry (one readback total).  Without this, a
     # 2^28-slot vocabulary would demand an infeasible per-device
     # membership no matter how many devices shard it.
     import os
 
     budget = int(os.environ.get("KSSD_DIST_MEM_BYTES", 1 << 32))
-    max_cols = max(1024, budget // (2 * (rows_per_dp + n1)))
+    max_cols = max(1024, budget // (2 * (rows_per_dp + n1_per_dp)))
     cols_per_vp = min(-(-len(vocab) // vp),
                       1 << (max_cols.bit_length() - 1))
     chunk_cols = vp * cols_per_vp
@@ -214,18 +247,15 @@ def sharded_common_counts(hashes0: list[np.ndarray],
     g0, c0 = g0j, c0j
     g1, c1 = g1j, c1j
 
-    def split_pairs(g, c, col_lo: int, split_rows: bool):
-        """Partition one vocab chunk's pairs into the [dp?, vp, cap]
-        padded layout (cap = largest bucket, power-of-two bucketed)."""
-        row_groups = dp if split_rows else 1
+    def split_pairs(g, c, col_lo: int, group: int):
+        """Partition one vocab chunk's pairs into the [dp, vp, cap]
+        padded layout (cap = largest bucket, power-of-two bucketed);
+        ``group`` genome rows per dp shard, ids made shard-local."""
         buckets = []
         cap = 0
-        for r in range(row_groups):
-            if split_rows:
-                sel = (g >= r * rows_per_dp) & (g < (r + 1) * rows_per_dp)
-                gg, cc = g[sel] - r * rows_per_dp, c[sel] - col_lo
-            else:
-                gg, cc = g, c - col_lo
+        for r in range(dp):
+            sel = (g >= r * group) & (g < (r + 1) * group)
+            gg, cc = g[sel] - r * group, c[sel] - col_lo
             row_buckets = []
             for v in range(vp):
                 lo, hi = v * cols_per_vp, (v + 1) * cols_per_vp
@@ -234,34 +264,30 @@ def sharded_common_counts(hashes0: list[np.ndarray],
                 cap = max(cap, int(sel_v.sum()))
             buckets.append(row_buckets)
         cap = max(1024, 1 << (cap - 1).bit_length()) if cap else 1024
-        shape = (row_groups, vp, cap) if split_rows else (vp, cap)
-        G = np.zeros(shape, np.int32)
-        C = np.full(shape, cols_per_vp, np.int32)
+        G = np.zeros((dp, vp, cap), np.int32)
+        C = np.full((dp, vp, cap), cols_per_vp, np.int32)
         for r, row_buckets in enumerate(buckets):
             for v, (gv, cv) in enumerate(row_buckets):
-                if split_rows:
-                    G[r, v, : len(gv)] = gv
-                    C[r, v, : len(cv)] = cv
-                else:
-                    G[v, : len(gv)] = gv
-                    C[v, : len(cv)] = cv
+                G[r, v, : len(gv)] = gv
+                C[r, v, : len(cv)] = cv
         return G, C, cap
 
     from ..ops.hostxfer import read_array
 
-    acc = jnp.zeros((dp, rows_per_dp, n1), jnp.int32)
+    acc = jnp.zeros((dp, rows_per_dp, dp * n1_per_dp), jnp.int32)
     n_chunks = -(-len(vocab) // chunk_cols)
     for ci in range(n_chunks):
         lo, hi = ci * chunk_cols, min(len(vocab), (ci + 1) * chunk_cols)
         s0 = slice(*np.searchsorted(c0, [lo, hi]))
         s1 = slice(*np.searchsorted(c1, [lo, hi]))
-        G0, C0, cap0 = split_pairs(g0[s0], c0[s0], lo, True)
-        G1, C1, cap1 = split_pairs(g1[s1], c1[s1], lo, False)
-        step = make_sharded_common_step(mesh, rows_per_dp, n1,
+        G0, C0, cap0 = split_pairs(g0[s0], c0[s0], lo, rows_per_dp)
+        G1, C1, cap1 = split_pairs(g1[s1], c1[s1], lo, n1_per_dp)
+        step = make_sharded_common_step(mesh, rows_per_dp, n1_per_dp,
                                         cols_per_vp, cap0, cap1)
         acc = step(acc, G0, C0, G1, C1)
 
-    out = read_array(acc).reshape(dp * rows_per_dp, n1)[:n0]
+    out = read_array(acc).reshape(dp * rows_per_dp, dp * n1_per_dp)
+    out = out[:n0, :n1]
     if symmetric:
         # the >=2-genome vocab filter drops singleton self-counts;
         # read_array may hand back a read-only device view -> copy

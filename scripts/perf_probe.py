@@ -122,31 +122,44 @@ def probe_device(files: list[str]) -> None:
     emit("h2d", mb_per_s=round(payload.nbytes / 1e6 / dt, 0))
 
     rng = np.random.default_rng(0)
-    for name, (k, s, l) in {"L3K10": (10, 6, 3), "L2K8": (8, 6, 2),
-                            "L3K12": (12, 6, 3)}.items():
+    # (config, KSSD_KEEP_STRATEGY override or None for the default)
+    configs = {"L3K10": ((10, 6, 3), None), "L2K8": ((8, 6, 2), None),
+               "L3K12": ((12, 6, 3), None)}
+    for name, ((k, s, l), strat) in configs.items():
         shuf = generate_shuffle(k, s, l)
         params = KssdParams(half_k=k, half_subk=s, drlevel=l)
-        sk = S.DeviceSketcher(params, shuf.shuffled_dim)
-        halo = S.aligned_halo(params)
-        nw = (1 << 17) // 16 + halo // 16 + 2
-        words = rng.integers(0, 2 ** 32, size=(16, nw),
-                             dtype=np.uint64).astype(np.uint32)
-        d2 = jax.device_put(words)
-        dexc = jax.device_put(
-            pad_exceptions(np.empty(0, np.int32), 16 * ((1 << 17) + halo)))
-        vu = jnp.int32(16 * (1 << 17))
-        out = sk._step(d2, dexc, sk.tables, *sk._fresh_buffers(),
-                       jnp.int32(0), vu)
-        jax.block_until_ready(out)
-        N = 30
-        t0 = time.time()
-        for _ in range(N):
-            out = sk._step(d2, dexc, sk.tables, *out, jnp.int32(0), vu)
-        jax.block_until_ready(out)
-        dt = (time.time() - t0) / N
-        emit(f"step:{name}", ms_per_batch=round(dt * 1e3, 2),
-             mbase_per_s=round(16 * (1 << 17) / 1e6 / dt, 0),
-             keep_rep=list(sk.tables[1].shape))
+        prev = os.environ.get("KSSD_KEEP_STRATEGY")
+        if strat is not None:
+            os.environ["KSSD_KEEP_STRATEGY"] = strat
+        try:
+            sk = S.DeviceSketcher(params, shuf.shuffled_dim)
+            halo = S.aligned_halo(params)
+            nw = (1 << 17) // 16 + halo // 16 + 2
+            words = rng.integers(0, 2 ** 32, size=(16, nw),
+                                 dtype=np.uint64).astype(np.uint32)
+            d2 = jax.device_put(words)
+            dexc = jax.device_put(
+                pad_exceptions(np.empty(0, np.int32),
+                               16 * ((1 << 17) + halo)))
+            vu = jnp.int32(16 * (1 << 17))
+            out = sk._step(d2, dexc, sk.tables, *sk._fresh_buffers(),
+                           jnp.int32(0), vu)
+            jax.block_until_ready(out)
+            N = 30
+            t0 = time.time()
+            for _ in range(N):
+                out = sk._step(d2, dexc, sk.tables, *out, jnp.int32(0), vu)
+            jax.block_until_ready(out)
+            dt = (time.time() - t0) / N
+            emit(f"step:{name}", ms_per_batch=round(dt * 1e3, 2),
+                 mbase_per_s=round(16 * (1 << 17) / 1e6 / dt, 0),
+                 keep_rep=list(sk.tables[1].shape))
+        finally:
+            if strat is not None:
+                if prev is None:
+                    os.environ.pop("KSSD_KEEP_STRATEGY", None)
+                else:
+                    os.environ["KSSD_KEEP_STRATEGY"] = prev
 
     # membership strategies on one L3K10 batch of dim_ids
     shuf = generate_shuffle(10, 6, 3)

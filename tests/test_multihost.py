@@ -67,6 +67,83 @@ def _expected_sketch_digest() -> str:
     return digest.hexdigest()
 
 
+def _write_corpus(root: str) -> tuple[str, str]:
+    """Small deterministic FASTA corpus + shuffle file; returns
+    (list_path, shuf_path)."""
+    from rabbitkssd_tpu.shuffle import generate_shuffle, write_shuffle_file
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    files = []
+    for g in range(6):
+        n = 4000 + 157 * g  # distinct sizes: deterministic size sort
+        seq = bases[rng.integers(0, 4, size=n)]
+        seq[100:110] = ord("N")
+        path = os.path.join(root, f"g{g}.fna")
+        with open(path, "wb") as f:
+            f.write(b">g%d\n" % g + seq.tobytes() + b"\n")
+        files.append(path)
+    list_path = os.path.join(root, "corpus.list")
+    with open(list_path, "w") as f:
+        f.write("\n".join(files) + "\n")
+    shuf_path = os.path.join(root, "small.shuf")
+    write_shuffle_file(generate_shuffle(6, 4, 1), shuf_path)
+    return list_path, shuf_path
+
+
+def test_two_process_cli_end_to_end(tmp_path):
+    """sketch + alldist through the REAL CLI in 2 jax.distributed
+    processes: artifacts must be byte-identical to single-process
+    (VERDICT r2 item 5 — the config-5 story proven end-to-end)."""
+    list_path, shuf_path = _write_corpus(str(tmp_path / "corpus"))
+    child = os.path.join(HERE, "multihost_cli_child.py")
+
+    # single-process reference run of the same CLI surface
+    env1 = _child_env(0, 0)
+    for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+              "JAX_PROCESS_ID"):
+        env1.pop(k, None)
+    single = str(tmp_path / "single")
+    r = subprocess.run(
+        [sys.executable, child, list_path, shuf_path, single],
+        env=env1, capture_output=True, text=True, timeout=600, cwd=HERE,
+    )
+    assert r.returncode == 0, f"single-process CLI failed:\n{r.stderr[-3000:]}"
+
+    port = _free_port()
+    outs = [str(tmp_path / f"proc{pid}") for pid in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, child, list_path, shuf_path, outs[pid]],
+            env=_child_env(pid, port),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, cwd=HERE,
+        )
+        for pid in range(2)
+    ]
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"child failed:\n{err[-3000:]}"
+        assert "CLI-OK" in out
+
+    def read(d, name):
+        with open(os.path.join(d, name), "rb") as f:
+            return f.read()
+
+    for name in ("corpus.sketch", "corpus.alldist"):
+        want = read(single, name)
+        assert want, name
+        for pid in range(2):
+            assert read(outs[pid], name) == want, \
+                f"process {pid} {name} differs from single-process"
+
+
 def test_two_process_distributed():
     port = _free_port()
     procs = [

@@ -37,6 +37,36 @@ print('SHARDED MATCH OK')
     assert "SHARDED MATCH OK" in out
 
 
+def test_sharded_ring_device_path():
+    """Force the DEVICE ring path (side 1 rotating over dp via ppermute)
+    past the small-join host shortcut and check exactness, including
+    n0/n1 not divisible by dp and multiple vocab chunks."""
+    out = run_in_cpu_mesh(
+        """
+import os, sys
+sys.path.insert(0, '/root/repo')
+os.environ['KSSD_HOST_JOIN_MAX'] = '0'      # no host fast path
+os.environ['KSSD_DIST_MEM_BYTES'] = '200000'  # force >1 vocab chunk
+import numpy as np
+from rabbitkssd_tpu.parallel.sharded import make_mesh, sharded_common_counts
+from rabbitkssd_tpu.ops.distance import common_counts
+
+rng = np.random.default_rng(17)
+hashes = [np.unique(rng.integers(0, 30000, rng.integers(50, 1200)).astype(np.uint64))
+          for _ in range(11)]
+mesh = make_mesh(8)
+a = sharded_common_counts(hashes, None, mesh)
+oracle = np.array([[len(np.intersect1d(x, y)) for y in hashes] for x in hashes], np.int32)
+np.testing.assert_array_equal(a, oracle)
+qry = hashes[:5]
+a = sharded_common_counts(qry, hashes, mesh)
+np.testing.assert_array_equal(a, oracle[:5])
+print('RING MATCH OK')
+"""
+    )
+    assert "RING MATCH OK" in out
+
+
 def test_sharded_sketch_matches_oracle():
     out = run_in_cpu_mesh(
         """
