@@ -195,6 +195,15 @@ def cmd_alldist(args) -> int:
                                      args.leastQuality, args.leastNumKmer,
                                      build_index_if_missing=True,
                                      threads=args.threads)
+    if os.environ.get("KSSD_LEGACY_DIST") == "1" and not args.metric:
+        # the reference's legacy sorted-intersection path (tri_dist,
+        # dist.cpp:345-427) — unreachable from its CLI too
+        # (subCommand.cpp:197 commented); jaccard/mash only
+        from .engine.dist_engine import run_alldist_legacy
+
+        with phase("tri_dist distance computing"):
+            run_alldist_legacy(sk, args.output, max_dist=args.maxDist)
+        return 0
     with phase("index_tridist distance computing"):
         run_alldist(sk, args.output, max_dist=args.maxDist,
                     containment=bool(args.metric), index_path=sketch_out)
@@ -224,6 +233,13 @@ def cmd_dist(args) -> int:
             "reference and query datasets"
         )
         return 1
+    if (os.environ.get("KSSD_LEGACY_DIST") == "1" and not args.metric
+            and not args.neighborN_max):
+        from .engine.dist_engine import run_dist_legacy
+
+        with phase("dist distance computing"):
+            run_dist_legacy(ref, query, args.output, max_dist=args.maxDist)
+        return 0
     with phase("index_dist distance computing"):
         run_dist(ref, query, args.output, max_dist=args.maxDist,
                  containment=bool(args.metric),

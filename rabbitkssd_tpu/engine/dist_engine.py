@@ -618,6 +618,95 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
     _write_rows(row_gen(), names, output_file)
 
 
+LEGACY_HEADER_TRI = HEADER
+LEGACY_HEADER_RQ = (" referenceGenome\tqueryGenome\tcommon|size0|size1\t"
+                    "jaccard\tmashD\n")
+
+
+def _legacy_mash(common: int, size0: int, size1: int, kmer_size: int
+                 ) -> tuple[float, float]:
+    """Legacy-path jaccard/mash (dist.cpp:897-938): NO zero-size guard —
+    two empty sketches give 0/0 = nan, whose rows never pass the
+    ``< maxDist`` filter (nan comparisons are false), exactly as the
+    reference's fprintf path behaves."""
+    denom = size0 + size1 - common
+    jaccard = common / denom if denom else math.nan
+    if jaccard == 1.0:
+        mash = 0.0
+    elif jaccard == 0.0:
+        mash = 1.0
+    else:
+        mash = (-1.0 / kmer_size) * math.log((2 * jaccard) / (1.0 + jaccard))
+    return jaccard, mash
+
+
+def run_alldist_legacy(sk: SketchSet, output_file: str,
+                       max_dist: float) -> None:
+    """The reference's LEGACY sorted-intersection all-vs-all text path
+    (``tri_dist``, dist.cpp:345-427): same header/row format as the
+    index path but rows printed with ``fprintf(" %s\\t%s\\t%d|%d|%d\\t
+    %lf\\t%lf\\n")`` — a LEADING SPACE before genome0 (dist.cpp:387).
+    Counting runs the batched sorted-intersection op (the AVX2 kernel's
+    TPU analogue, ops/intersect.py).  Unreachable from the reference
+    CLI (subCommand.cpp:197 is commented out); exposed here behind
+    ``KSSD_LEGACY_DIST=1`` for full behavioral coverage."""
+    from ..ops.intersect import common_counts_sorted
+
+    hashes = [np.sort(s.hashes) for s in sk.sketches]
+    names = [s.name for s in sk.sketches]
+    kmer_size = 2 * sk.info.half_k
+    common = common_counts_sorted(hashes, None)
+    with open(output_file, "w") as f:
+        f.write(LEGACY_HEADER_TRI)
+        for i in range(len(names)):
+            si = hashes[i].size
+            for j in range(i + 1, len(names)):
+                c = int(common[i, j])
+                jac, d = _legacy_mash(c, si, hashes[j].size, kmer_size)
+                if d < max_dist:
+                    f.write(f" {names[j]}\t{names[i]}\t{c}|{si}|"
+                            f"{hashes[j].size}\t{jac:.6f}\t{d:.6f}\n")
+
+
+def run_dist_legacy(ref: SketchSet, query: SketchSet, output_file: str,
+                    max_dist: float) -> None:
+    """The reference's LEGACY ref-vs-query path (``dist``,
+    dist.cpp:778-893): header names referenceGenome/queryGenome
+    (dist.cpp:870) but rows still print query first; the branch on
+    ``refSize >= querySize`` (dist.cpp:805-860) swaps which side's size
+    lands in the size0 column — both quirks reproduced.  Threshold is
+    strict ``<`` (unlike index_dist's ``<=``)."""
+    from ..ops.intersect import common_counts_sorted
+
+    rh = [np.sort(s.hashes) for s in ref.sketches]
+    qh = [np.sort(s.hashes) for s in query.sketches]
+    rnames = [s.name for s in ref.sketches]
+    qnames = [s.name for s in query.sketches]
+    kmer_size = 2 * ref.info.half_k
+    with open(output_file, "w") as f:
+        f.write(LEGACY_HEADER_RQ)
+        if len(rh) >= len(qh):
+            common = common_counts_sorted(rh, qh)  # [ref, query]
+            for i in range(len(rh)):
+                s0 = rh[i].size
+                for j in range(len(qh)):
+                    c = int(common[i, j])
+                    jac, d = _legacy_mash(c, s0, qh[j].size, kmer_size)
+                    if d < max_dist:
+                        f.write(f" {qnames[j]}\t{rnames[i]}\t{c}|{s0}|"
+                                f"{qh[j].size}\t{jac:.6f}\t{d:.6f}\n")
+        else:
+            common = common_counts_sorted(qh, rh)  # [query, ref]
+            for i in range(len(qh)):
+                s0 = qh[i].size  # size0 = QUERY size in this branch
+                for j in range(len(rh)):
+                    c = int(common[i, j])
+                    jac, d = _legacy_mash(c, s0, rh[j].size, kmer_size)
+                    if d < max_dist:
+                        f.write(f" {qnames[i]}\t{rnames[j]}\t{c}|{s0}|"
+                                f"{rh[j].size}\t{jac:.6f}\t{d:.6f}\n")
+
+
 def run_dist(ref: SketchSet, query: SketchSet, output_file: str,
              max_dist: float, containment: bool, max_neighbor: int = 0,
              ref_index_path: str | None = None) -> None:

@@ -806,6 +806,12 @@ class DeviceSketcher:
         q: queue.Queue = queue.Queue(maxsize=8)
 
         def producer():
+            # NB device_put is async; an in-flight throttle
+            # (block_until_ready N batches back) was tried in round 3
+            # to bound the H2D backlog and cost ~2x wall on the relay
+            # (forcing per-array completion serializes its pipeline) —
+            # the backlog's host copies measure ~1 GB at config-4
+            # scale, an acceptable price for a saturated link.
             try:
                 for batch in feeder:
                     q.put((jax.device_put(batch.words),
