@@ -503,19 +503,26 @@ def _load_csr(sketch_path: str | None, use64: bool,
     return _CsrIndex(*got)
 
 
-def _auto_block() -> int:
-    """Genome-axis block size bounding device memory.
+def _auto_block(n_cols: int = 0) -> int:
+    """Genome-axis block size bounding device AND host strip memory.
 
     The membership matmul for a (B0, B1) tile over a W-column vocab
     chunk holds (B0p + B1p) * W bf16 + B0p * B1p int32 on device —
     pair_counts additionally caps W by KSSD_DIST_MEM_BYTES, so the
-    default block never OOMs a v5e chip.  Overridable via
+    default block never OOMs a v5e chip.  The HOST side holds two
+    [block, n_cols] int32 strips (double-buffered counting/emission),
+    so the block also shrinks to keep those under ~2 GiB total at
+    million-genome column counts (KSSD_STRIP_BYTES).  Overridable via
     KSSD_DIST_BLOCK.
     """
     env = os.environ.get("KSSD_DIST_BLOCK")
     if env:
         return max(128, int(env))
-    return 8192
+    block = 8192
+    if n_cols:
+        strip_budget = int(os.environ.get("KSSD_STRIP_BYTES", 1 << 30))
+        block = min(block, max(128, strip_budget // (4 * n_cols)))
+    return block
 
 
 def _tile_counts(common_blk: np.ndarray, row_hashes, col_hashes, i0: int,
@@ -560,7 +567,7 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
     kmer_size = 2 * sk.info.half_k
     names = [s.name for s in sk.sketches]
     n = len(hashes)
-    block = _auto_block()
+    block = _auto_block(n)
     csr = _load_csr(index_path, sk.use64,
                     payload_nnz=int(sum(h.size for h in hashes)))
     if n <= block:
@@ -723,7 +730,7 @@ def run_dist(ref: SketchSet, query: SketchSet, output_file: str,
     rh = [s.hashes for s in ref.sketches]
     kmer_size = 2 * ref.info.half_k
     nq, nr = len(qh), len(rh)
-    block = _auto_block()
+    block = _auto_block(nr)
     csr = _load_csr(ref_index_path, ref.use64,
                     payload_nnz=int(sum(h.size for h in rh)))
 
