@@ -87,7 +87,64 @@ def load_native():
                 ct.POINTER(ct.POINTER(ct.c_uint32)), ct.POINTER(ct.c_int64),
                 ct.POINTER(ct.POINTER(ct.c_int32)), ct.POINTER(ct.c_int64),
             ]
+            _LIB.kssd_pair_count.restype = None
+            _LIB.kssd_pair_count.argtypes = [
+                ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int64),
+                ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int32),
+                ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
+                ct.c_int64, ct.POINTER(ct.c_int32), ct.c_int64,
+                ct.c_int32, ct.c_int32,
+            ]
         return _LIB
+
+
+def pair_count_native(g0, s0, k0, g1, s1, k1, out, threads: int = 0):
+    """Join-layout posting-list counting into ``out`` int32[n0, n1]
+    (the reference's dist.cpp:174-204 walk).  Threads split the output
+    row space — the reference's per-thread privatized counter rows
+    without the copies.  Returns False if the toolchain is unavailable.
+    """
+    import ctypes as ct
+
+    import numpy as np
+
+    lib = load_native()
+    if lib is None:
+        return False
+    n0, n1 = out.shape
+    g0 = np.ascontiguousarray(g0, np.int32)
+    g1 = np.ascontiguousarray(g1, np.int32)
+    s0 = np.ascontiguousarray(s0, np.int64)
+    k0 = np.ascontiguousarray(k0, np.int64)
+    s1 = np.ascontiguousarray(s1, np.int64)
+    k1 = np.ascontiguousarray(k1, np.int64)
+    assert out.dtype == np.int32 and out.flags["C_CONTIGUOUS"]
+
+    def run(row_lo: int, row_hi: int) -> None:
+        lib.kssd_pair_count(
+            g0.ctypes.data_as(ct.POINTER(ct.c_int32)),
+            s0.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            k0.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            g1.ctypes.data_as(ct.POINTER(ct.c_int32)),
+            s1.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            k1.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            ct.c_int64(len(s0)),
+            out.ctypes.data_as(ct.POINTER(ct.c_int32)),
+            ct.c_int64(n1), ct.c_int32(row_lo), ct.c_int32(row_hi),
+        )
+
+    nthreads = threads or min(os.cpu_count() or 1, 8)
+    nthreads = max(1, min(nthreads, n0))
+    if nthreads == 1:
+        run(0, n0)
+        return True
+    from concurrent.futures import ThreadPoolExecutor
+
+    bounds = [n0 * t // nthreads for t in range(nthreads + 1)]
+    with ThreadPoolExecutor(max_workers=nthreads) as ex:
+        list(ex.map(lambda t: run(bounds[t], bounds[t + 1]),
+                    range(nthreads)))
+    return True
 
 
 def _take_i32(lib, ptr, n):

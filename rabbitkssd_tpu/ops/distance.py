@@ -31,6 +31,8 @@ import numpy as np
 
 # per-chunk f32 accumulation stays exact below 2**24 ones
 MAX_CHUNK = 1 << 22
+# host-join expansion increments per pass (numpy fallback)
+_HOST_JOIN_CHUNK = 1 << 24
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
@@ -122,24 +124,47 @@ def _join_layout(c0, c1):
     return u, s0, k0, s1, k1, int(np.sum(k0 * k1, dtype=np.int64))
 
 
-def _pair_counts_host(g0, c0, g1, c1, n0: int, n1: int) -> np.ndarray:
+def _pair_counts_host(g0, c0, g1, c1, n0: int, n1: int,
+                      layout=None) -> np.ndarray:
     """Exact host-side counting: expand the column join and accumulate.
 
     The numpy analogue of the reference's posting-list walk
-    (dist.cpp:193-204) — used when the join is small enough that device
-    dispatch overhead dominates."""
+    (dist.cpp:193-204) — O(join size), used when device dispatch
+    overhead (or, on CPU backends, the dense-matmul formulation's
+    FLOPs) would dominate.  The expansion is chunked so temporaries
+    stay bounded however large the join."""
     out = np.zeros((n0, n1), np.int32)
-    _, s0, k0, s1, k1, total = _join_layout(c0, c1)
+    _, s0, k0, s1, k1, total = (layout if layout is not None
+                                else _join_layout(c0, c1))
     if total == 0:
         return out
+    from ..native import pair_count_native
+
+    # the native walk runs at memory speed (~100x numpy's add.at),
+    # threads privatized over output rows like the reference's
+    # per-thread counter arrays (dist.cpp:143)
+    if pair_count_native(g0, s0, k0, g1, s1, k1, out):
+        return out
     tot = (k0 * k1).astype(np.int64)
-    col_of = np.repeat(np.arange(len(tot)), tot)
-    starts = np.zeros(len(tot), np.int64)
-    np.cumsum(tot[:-1], out=starts[1:])
-    within = np.arange(total, dtype=np.int64) - starts[col_of]
-    ii = g0[s0[col_of] + within // k1[col_of]]
-    jj = g1[s1[col_of] + within % k1[col_of]]
-    np.add.at(out, (ii, jj), 1)
+    ends = np.cumsum(tot)
+    starts = ends - tot
+    chunk = _HOST_JOIN_CHUNK  # increments per pass (~400 MB temporaries)
+    for lo in range(0, total, chunk):
+        hi = min(total, lo + chunk)
+        # columns overlapping [lo, hi) of the flattened join
+        c_lo = int(np.searchsorted(ends, lo, side="right"))
+        c_hi = int(np.searchsorted(starts, hi, side="left"))
+        cols = np.arange(c_lo, c_hi)
+        span = np.minimum(ends[cols], hi) - np.maximum(starts[cols], lo)
+        col_of = np.repeat(cols, span)
+        base = np.maximum(starts[cols], lo) - starts[cols]
+        off0 = np.zeros(len(cols), np.int64)
+        np.cumsum(span[:-1], out=off0[1:])
+        within = (np.arange(hi - lo, dtype=np.int64)
+                  - np.repeat(off0, span) + np.repeat(base, span))
+        ii = g0[s0[col_of] + within // k1[col_of]]
+        jj = g1[s1[col_of] + within % k1[col_of]]
+        np.add.at(out, (ii, jj), 1)
     return out
 
 
@@ -160,11 +185,19 @@ def pair_counts(g0, c0, g1, c1, n0: int, n1: int, n_vocab: int,
     if n_vocab == 0 or len(c0) == 0 or len(c1) == 0:
         return out
     host_max = _host_join_max()
-    if min(len(c0), len(c1)) * 64 <= host_max:
-        # cheap screen before the exact join-size count
-        _, _, _, _, _, total = _join_layout(c0, c1)
-        if total <= host_max:
-            return _pair_counts_host(g0, c0, g1, c1, n0, n1)
+    # On CPU backends the dense-matmul formulation pays
+    # O(n0 * n1 * vocab) scalar FLOPs for what the posting-list join
+    # does in O(join); the join IS the reference's dist.cpp:174-204
+    # algorithm, so route every tile through it there (config-5
+    # density on the virtual mesh).  KSSD_HOST_JOIN_MAX=0 still forces
+    # the device path (tests exercise it).
+    backend_cpu = jax.default_backend() == "cpu"
+    if host_max > 0 and (backend_cpu
+                         or min(len(c0), len(c1)) * 64 <= host_max):
+        layout = _join_layout(c0, c1)
+        if backend_cpu or layout[-1] <= host_max:
+            return _pair_counts_host(g0, c0, g1, c1, n0, n1,
+                                     layout=layout)
 
     _config.start_warm()
 

@@ -217,11 +217,16 @@ def sharded_common_counts(hashes0: list[np.ndarray],
                                 _pair_counts_host)
 
     host_max = _host_join_max()
-    if min(len(c0j), len(c1j)) * 64 <= host_max:
-        # small join: device dispatch is pure overhead, mesh or not
-        _, _, _, _, _, total = _join_layout(c0j, c1j)
-        if total <= host_max:
-            out = _pair_counts_host(g0j, c0j, g1j, c1j, n0, n1)
+    backend_cpu = jax.default_backend() == "cpu"
+    if host_max > 0 and (backend_cpu
+                         or min(len(c0j), len(c1j)) * 64 <= host_max):
+        # small join (or CPU backend, where the dense matmul pays
+        # O(n0*n1*vocab) scalar FLOPs for the join's O(join) work):
+        # device dispatch is pure overhead, mesh or not
+        layout = _join_layout(c0j, c1j)
+        if backend_cpu or layout[-1] <= host_max:
+            out = _pair_counts_host(g0j, c0j, g1j, c1j, n0, n1,
+                                    layout=layout)
             if symmetric:
                 np.fill_diagonal(out, [h.size for h in hashes0])
             return out

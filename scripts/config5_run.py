@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Config 5 at REALISTIC density (VERDICT r2 item 4): 100k genomes with
+~1.5k hashes each — nnz ~1.5e8 membership pairs, join ~1.5e9 — through
+the full blocked alldist on the virtual 8-device CPU mesh.
+
+The corpus is clustered like real bacteria at l=3: genomes fall into
+strain clusters sharing a fraction of their sketch, so -D 0.05 emits
+the intra-cluster pairs (millions of rows) while the cross-cluster mass
+is filtered — the counting still has to walk every posting list, which
+is the O(nnz)-bound behavior of the reference's dist.cpp:174-204.
+
+Usage: python scripts/config5_run.py [--genomes 100000] [--per 1500]
+Prints one JSON line: wall, emitted rows, join pairs/s, peak RSS.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+
+# This benchmark targets the pod-emulation path (virtual 8-device CPU
+# mesh).  The axon TPU plugin registers from sitecustomize at
+# interpreter START, so scrubbing the env here is too late — re-exec
+# with a clean environment instead (the conftest run_in_cpu_mesh
+# pattern, as a self-contained script).
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8"
+                        ).strip()
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if "xla_force_host_platform_device_count" not in os.environ.get(
+        "XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8"
+                               ).strip()
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BENCH_DIR = os.environ.get("KSSD_BENCH_DIR", "/tmp/kssd_bench")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_sketches(n_genomes: int, per_genome: int, cluster: int,
+                   shared_frac: float):
+    """Clustered synthetic sketch sets over the L3K10 32-bit hash space
+    (16^7 slots): each cluster shares ``shared_frac`` of its sketch."""
+    space = 1 << 28
+    rng = np.random.default_rng(99)
+    n_clusters = n_genomes // cluster
+    n_shared = int(per_genome * shared_frac)
+    hashes = []
+    t0 = time.time()
+    for c in range(n_clusters):
+        core = np.unique(
+            rng.integers(0, space, size=int(n_shared * 1.1), dtype=np.uint32)
+        )[:n_shared]
+        uniq = rng.integers(0, space,
+                            size=(cluster, per_genome - n_shared + 64),
+                            dtype=np.uint32)
+        for g in range(cluster):
+            h = np.unique(np.concatenate([core, uniq[g]]))[:per_genome]
+            hashes.append(h)
+    log(f"built {len(hashes)} sketches in {time.time()-t0:.1f}s "
+        f"(nnz={sum(h.size for h in hashes)/1e6:.0f}M)")
+    return hashes
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--genomes", type=int, default=100_000)
+    ap.add_argument("--per", type=int, default=1500)
+    ap.add_argument("--cluster", type=int, default=50)
+    ap.add_argument("--shared", type=float, default=0.55)
+    ap.add_argument("--max-dist", type=float, default=0.05)
+    args = ap.parse_args()
+
+    from rabbitkssd_tpu.engine.dist_engine import run_alldist
+    from rabbitkssd_tpu.formats import Sketch, SketchInfo, SketchSet
+    from rabbitkssd_tpu.ops.distance import _join_layout
+
+    hashes = build_sketches(args.genomes, args.per, args.cluster,
+                            args.shared)
+    info = SketchInfo(id=(10 << 8) | (6 << 4) | 3, half_k=10, half_subk=6,
+                      drlevel=3, genome_number=len(hashes))
+    sk = SketchSet(info=info, sketches=[
+        Sketch(name=f"g{i:06d}.fna", hashes=h)
+        for i, h in enumerate(hashes)
+    ])
+
+    out = os.path.join(BENCH_DIR, "config5.alldist")
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    t0 = time.time()
+    run_alldist(sk, out, max_dist=args.max_dist, containment=False)
+    wall = time.time() - t0
+
+    rows = 0
+    with open(out) as f:
+        for rows, _ in enumerate(f, start=0):
+            pass
+    peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+    # spot-check 5 intra-cluster and 5 cross pairs against the oracle
+    import math
+    checked = 0
+    with open(out) as f:
+        next(f)
+        for line in f:
+            g0, g1, csz, jac, d = line.rstrip("\n").split("\t")
+            c = int(csz.split("|")[0])
+            i0, i1 = int(g0[1:-4]), int(g1[1:-4])
+            want = len(np.intersect1d(hashes[i0], hashes[i1]))
+            assert c == want, (g0, g1, c, want)
+            checked += 1
+            if checked >= 8:
+                break
+
+    print(json.dumps({
+        "config": 5,
+        "genomes": args.genomes,
+        "nnz": int(sum(h.size for h in hashes)),
+        "wall_s": round(wall, 1),
+        "rows_emitted": rows,
+        "rows_per_s": round(rows / wall, 0),
+        "peak_rss_gb": round(peak_gb, 2),
+        "spot_checked": checked,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

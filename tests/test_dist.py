@@ -97,6 +97,35 @@ def test_common_counts_chunked(rng):
     np.testing.assert_array_equal(a, b)
 
 
+def test_host_join_native_and_fallback(rng, monkeypatch):
+    """The native posting-list walk and the chunked numpy expansion
+    must agree with brute force (the chunk boundary math splits columns
+    mid-run)."""
+    import rabbitkssd_tpu.ops.distance as D
+
+    hashes0 = [np.unique(rng.integers(0, 3000, size=400).astype(np.uint32))
+               for _ in range(7)]
+    hashes1 = [np.unique(rng.integers(0, 3000, size=300).astype(np.uint32))
+               for _ in range(5)]
+    vocab = np.unique(np.concatenate(hashes0 + hashes1))
+    g0, c0 = D._memberships(hashes0, vocab)
+    g1, c1 = D._memberships(hashes1, vocab)
+    oracle = np.array(
+        [[len(np.intersect1d(a, b)) for b in hashes1] for a in hashes0],
+        np.int32)
+
+    native = D._pair_counts_host(g0, c0, g1, c1, 7, 5)
+    np.testing.assert_array_equal(native, oracle)
+
+    import rabbitkssd_tpu.native as N
+
+    monkeypatch.setattr(N, "pair_count_native", lambda *a, **k: False)
+    # tiny chunk: force many passes with mid-column splits
+    monkeypatch.setattr(D, "_HOST_JOIN_CHUNK", 37)
+    fallback = D._pair_counts_host(g0, c0, g1, c1, 7, 5)
+    np.testing.assert_array_equal(fallback, oracle)
+
+
 def test_write_rows_4gb_split(tmp_path, monkeypatch):
     """Outputs beyond the split threshold land in <out>.dir + <out>.index
     (reference dist.cpp:276-341)."""
