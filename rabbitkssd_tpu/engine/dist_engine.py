@@ -431,15 +431,89 @@ class _CsrIndex:
 
     def __init__(self, vocab, offsets, postings):
         self.vocab = vocab
+        # int32 throughout while it fits: vocab positions, genome ids
+        # and (usually) posting offsets are < 2^31 — these arrays
+        # dominate the index's host footprint at config-5 scale
+        odt = np.int64 if postings.size > (1 << 31) - 1 else np.int32
+        self.offsets = np.asarray(offsets, odt)
         self.cols = np.repeat(
-            np.arange(len(vocab), dtype=np.int64), np.diff(offsets)
+            np.arange(len(vocab), dtype=np.int32), np.diff(offsets)
         )
-        self.gids = postings.astype(np.int64)
+        self.gids = postings.astype(np.int32)
+
+    @classmethod
+    def from_hashes(cls, hashes: list[np.ndarray]) -> "_CsrIndex":
+        """Build the inverted index in memory from per-genome sorted
+        hash sets — the reference's transSketches (sketch.cpp:894-1021)
+        as one argsort: postings grouped by hash value, genome ids
+        ascending within a hash (stable sort over genome-major input).
+        """
+        sizes = np.fromiter((h.size for h in hashes), np.int64,
+                            len(hashes))
+        allh = (np.concatenate(hashes) if len(hashes)
+                else np.empty(0, np.uint64))
+        gids = np.repeat(np.arange(len(hashes), dtype=np.int32), sizes)
+        order = np.argsort(allh, kind="stable")
+        sh = allh[order]
+        del allh
+        # run boundaries of the SORTED hashes (np.unique would sort a
+        # second time — this is the config-5 hot build)
+        if sh.size:
+            flags = np.empty(sh.size, bool)
+            flags[0] = True
+            np.not_equal(sh[1:], sh[:-1], out=flags[1:])
+            starts = np.flatnonzero(flags)
+            vocab = sh[starts]
+            offsets = np.empty(len(starts) + 1, np.int64)
+            offsets[:-1] = starts
+            offsets[-1] = sh.size
+        else:
+            vocab = sh
+            offsets = np.zeros(1, np.int64)
+        return cls(vocab, offsets, gids[order])
 
     def side_pairs(self, j0: int, j1: int):
         """Pairs for genomes [j0, j1) (cols stay globally sorted)."""
         m = (self.gids >= j0) & (self.gids < j1)
         return (self.gids[m] - j0).astype(np.int32), self.cols[m]
+
+    def strip_runs(self, block: int, n_genomes: int):
+        """All strips' pairs from ONE stable sort by strip id (a
+        boolean scan of the full pair list per strip costs ~2
+        passes/strip — minutes at config-5 scale).  Stability keeps
+        cols sorted within each strip (the global order is
+        column-major).  Returns (g, c, bounds): strip k's pairs are
+        ``g[bounds[k]:bounds[k+1]]`` (GLOBAL genome ids), same for c."""
+        strip = self.gids // block
+        order = np.argsort(strip, kind="stable")
+        g = self.gids[order]
+        c = self.cols[order]
+        n_strips = -(-n_genomes // block)
+        bounds = np.searchsorted(strip[order], np.arange(n_strips + 1))
+        return g, c, bounds
+
+    def walk_layout(self, row_pairs):
+        """Join layout of row-side pairs vs ALL this index's genomes:
+        the reference's per-row posting walk (dist.cpp:174-204)
+        prepared for the native kernel — side-1 runs come straight
+        from the index offsets (no per-strip unique over the full
+        posting list).  row_pairs: (local row ids int32, vocab column
+        ids, column-sorted)."""
+        g0, c0 = row_pairs
+        u0, s0, k0 = np.unique(c0, return_index=True, return_counts=True)
+        s1 = self.offsets[u0]
+        k1 = self.offsets[u0 + 1] - s1
+        total = int(np.sum(k0 * k1, dtype=np.int64))
+        return g0, (u0, s0, k0.astype(np.int64), s1, k1, total)
+
+    def walk(self, blk: np.ndarray, layout_pack) -> None:
+        """Count the layout's rows vs all genomes into blk int32[bi, n]
+        (native posting walk; numpy expansion fallback)."""
+        from ..ops.distance import _pair_counts_host
+
+        g0, layout = layout_pack
+        _pair_counts_host(g0, None, self.gids, None, blk.shape[0],
+                          blk.shape[1], layout=layout, out=blk)
 
     def query_pairs(self, q_hashes: list[np.ndarray]):
         """Membership pairs of query hash arrays against the index vocab."""
@@ -503,6 +577,36 @@ def _load_csr(sketch_path: str | None, use64: bool,
     return _CsrIndex(*got)
 
 
+def _use_walk(layout_pack, bi: int, n1: int) -> bool:
+    """Cost-model dispatch between the native posting walk (the
+    reference's dist.cpp:174-204 algorithm) and the MXU membership
+    matmuls for one strip.
+
+    The walk costs O(join) memory-speed increments; the matmul costs
+    O(bi * n1 * vocab) MXU flops plus dispatch.  Sparse-overlap corpora
+    (config 5: most genome pairs share nothing) walk; dense-overlap
+    ones (small corpora of near-identical genomes) matmul on TPU.
+    KSSD_DIST_PATH in {auto, walk, matmul} overrides; CPU backends
+    always walk (the matmul pays the same flops at scalar speed).
+    """
+    mode = os.environ.get("KSSD_DIST_PATH", "auto")
+    if mode == "walk":
+        return True
+    if mode == "matmul":
+        return False
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return True
+    _, layout = layout_pack
+    join = layout[-1]
+    width = len(layout[0])  # strip vocab size
+    walk_s = join / float(os.environ.get("KSSD_WALK_RATE", 1e9))
+    mxu_s = (2.0 * bi * n1 * width
+             / float(os.environ.get("KSSD_MXU_RATE", 2e12))) + 0.05
+    return walk_s < mxu_s
+
+
 def _auto_block(n_cols: int = 0) -> int:
     """Genome-axis block size bounding device AND host strip memory.
 
@@ -520,7 +624,7 @@ def _auto_block(n_cols: int = 0) -> int:
         return max(128, int(env))
     block = 8192
     if n_cols:
-        strip_budget = int(os.environ.get("KSSD_STRIP_BYTES", 1 << 30))
+        strip_budget = int(os.environ.get("KSSD_STRIP_BYTES", 1 << 29))
         block = min(block, max(128, strip_budget // (4 * n_cols)))
     return block
 
@@ -586,21 +690,31 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
     step = progress_bar_size(n)
     print(f"=====total: {n}", file=sys.stderr)
 
+    if csr is None:
+        # build the inverted index in memory (the reference builds and
+        # persists it before every alldist, subCommand.cpp:165-169) —
+        # one argsort over the nnz; each strip is then one posting walk
+        # or one set of matmul tiles, never per-tile re-deduplication
+        csr = _CsrIndex.from_hashes(hashes)
+
+    g_all, c_all, sbounds = csr.strip_runs(block, n)
+
     def count_strip(strip, i0):
         bi = min(block, n - i0)
+        common_blk = strip[:bi]
+        sl = slice(sbounds[i0 // block], sbounds[i0 // block + 1])
+        row_pairs = ((g_all[sl] - i0).astype(np.int32), c_all[sl])
+        lp = csr.walk_layout(row_pairs)
+        if _use_walk(lp, bi, n):
+            csr.walk(common_blk, lp)
+            return common_blk
         # emission reads columns j > i >= i0 only, so tiles with
         # J < I are never needed: strictly upper-triangle work
-        common_blk = strip[:bi]
         common_blk[:] = 0
-        if csr is not None:
-            row_pairs = csr.side_pairs(i0, i0 + bi)
-            for j0 in range(i0, n, block):
-                j1 = min(n, j0 + block)
-                common_blk[:, j0:j1] = csr.counts(
-                    row_pairs, csr.side_pairs(j0, j1), bi, j1 - j0)
-        else:
-            _tile_counts(common_blk, hashes, hashes, i0, bi, i0, n,
-                         block)
+        for j0 in range(i0, n, block):
+            j1 = min(n, j0 + block)
+            common_blk[:, j0:j1] = csr.counts(
+                row_pairs, csr.side_pairs(j0, j1), bi, j1 - j0)
         return common_blk
 
     def row_gen():
@@ -734,9 +848,19 @@ def run_dist(ref: SketchSet, query: SketchSet, output_file: str,
     csr = _load_csr(ref_index_path, ref.use64,
                     payload_nnz=int(sum(h.size for h in rh)))
 
+    if csr is None and (nq > block or nr > block):
+        # blocked runs: one in-memory ref index beats per-tile
+        # re-deduplication (see run_alldist)
+        csr = _CsrIndex.from_hashes(rh)
+
     def blk_counts(common_blk, q0, bq):
         if csr is not None:
             q_pairs = csr.query_pairs(qh[q0 : q0 + bq])
+            lp = csr.walk_layout(q_pairs)
+            if _use_walk(lp, bq, nr):
+                csr.walk(common_blk, lp)
+                return
+            common_blk[:] = 0
             for j0 in range(0, nr, block):
                 j1 = min(nr, j0 + block)
                 common_blk[:, j0:j1] = csr.counts(

@@ -700,6 +700,21 @@ class DeviceSketcher:
                 jnp.zeros(self.buf_cap, jnp.int32), jnp.int32(0),
                 jnp.bool_(False))
 
+    def prewarm(self) -> None:
+        """Trace + compile (or cache-load) the stream step and flush
+        reads on a zero batch, off the critical path — a serving
+        process warms these once; ~2-3 s otherwise paid inside the
+        first sketch call."""
+        halo = aligned_halo(self.params)
+        nw = self.block // 16 + halo // 16 + 2
+        words = jnp.zeros((self.n_blocks, nw), jnp.uint32)
+        exc = jnp.asarray(pad_exceptions(
+            np.empty(0, np.int32), self.n_blocks * (self.block + halo)))
+        bufs = self._step(words, exc, self.tables, *self._fresh_buffers(),
+                          jnp.int32(0), jnp.int32(0))
+        total, oflow = read_scalars(bufs[4], bufs[5])
+        read_prefixes(list(bufs[:4]), 1)
+
     def _full_cap_sketcher(self, payload: int) -> "DeviceSketcher":
         """Clone with cap = the whole batch payload (cannot overflow),
         used by the exact fallback; built lazily, cached."""
@@ -1233,6 +1248,11 @@ def sketch_file_list(list_path: str, shuf: "shuffle_mod.ShuffleFile",
         least_qual, least_num_kmer = 0, 1
     files = read_list(list_path)
     params = KssdParams(half_k=shuf.k, half_subk=shuf.subk, drlevel=shuf.drlevel)
+    sketcher = kw.pop("sketcher", None)
+    if sketcher is not None:
+        # caller-provided (e.g. constructed early and prewarmed while
+        # other work ran); quality thresholds must already match
+        return sketcher.sketch_files(files)
     if kw.get("mesh") is not None or len(jax.devices()) > 1:
         sk = MeshSketcher(params, shuf.shuffled_dim, least_qual=least_qual,
                           least_num_kmer=least_num_kmer, threads=threads,

@@ -125,7 +125,7 @@ def _join_layout(c0, c1):
 
 
 def _pair_counts_host(g0, c0, g1, c1, n0: int, n1: int,
-                      layout=None) -> np.ndarray:
+                      layout=None, out=None) -> np.ndarray:
     """Exact host-side counting: expand the column join and accumulate.
 
     The numpy analogue of the reference's posting-list walk
@@ -133,7 +133,10 @@ def _pair_counts_host(g0, c0, g1, c1, n0: int, n1: int,
     overhead (or, on CPU backends, the dense-matmul formulation's
     FLOPs) would dominate.  The expansion is chunked so temporaries
     stay bounded however large the join."""
-    out = np.zeros((n0, n1), np.int32)
+    if out is None:
+        out = np.zeros((n0, n1), np.int32)
+    else:
+        out[:] = 0
     _, s0, k0, s1, k1, total = (layout if layout is not None
                                 else _join_layout(c0, c1))
     if total == 0:
