@@ -40,6 +40,10 @@ from ..ops.distance import common_counts
 from ..utils.stdheap import StdPriorityQueue
 
 MAX_SINGLE_FILE = 1 << 32  # 4 GiB split threshold (dist.cpp:277,711)
+# cells (count entries) per vectorized emission group: bounds the
+# candidate-mask / format-buffer temporaries in the row generators to
+# ~128 MB regardless of corpus width (tests shrink it to force chunking)
+_ROWGROUP_CELLS = 1 << 24
 HEADER = " genome0\tgenome1\tcommon|size0|size1\tjaccard\tmashD\n"
 
 
@@ -134,7 +138,7 @@ def _candidate_mask(cblk: np.ndarray, s0, s1, kmer_size: int,
 
 def _alldist_block_rows(names, sizes, common_blk: np.ndarray, i0: int,
                         kmer_size: int, max_dist: float,
-                        containment: bool, step: int):
+                        containment: bool, step: int, blob=None):
     """Upper-triangle rows for global genomes [i0, i0+R) given their
     count rows vs ALL genomes (common_blk [R, n]).
 
@@ -143,16 +147,20 @@ def _alldist_block_rows(names, sizes, common_blk: np.ndarray, i0: int,
     height bounds temporaries to ~128 MB), and ``np.nonzero``'s
     row-major order makes emission i-major with j ascending — the
     reference's deterministic row order (dist.cpp:206-256).  Surviving
-    candidates are recomputed with the exact scalar libm semantics.
+    candidates are recomputed with the exact libm semantics — by the
+    native formatter (one call per group, same glibc log/printf the
+    reference binary uses) or the scalar-Python fallback.
 
     Yields an int genome marker before each genome's rows — the
     :func:`_write_rows` part-index protocol (every genome in [i0,
     i0+R) yields exactly one marker, rows or not)."""
+    from ..native import NameBlob, format_rows
+
     n = len(names)
     R = common_blk.shape[0]
     f = _containment_aaf if containment else _jaccard_mash
     include_zero = 1.0 < max_dist  # j==0 -> d := 1.0 emits iff 1.0 < D
-    rg = max(1, (1 << 24) // max(n, 1))  # rows per vectorized group
+    rg = max(1, _ROWGROUP_CELLS // max(n, 1))  # rows per group
     for g0 in range(0, R, rg):
         g1 = min(R, g0 + rg)
         cblk = common_blk[g0:g1]
@@ -173,6 +181,25 @@ def _alldist_block_rows(names, sizes, common_blk: np.ndarray, i0: int,
         bi_s, j_s, v_s = bi_nz[sel], j_nz[sel], vals[sel]
         # candidate run boundaries per row (bi_s is sorted: row-major)
         bounds = np.searchsorted(bi_s, np.arange(g1 - g0 + 1))
+        if blob is None:
+            blob = NameBlob(names)
+        fmt = format_rows((i0 + g0 + bi_s).astype(np.int32), j_s, v_s,
+                          sizes, sizes, blob, blob, kmer_size, max_dist,
+                          containment, strict=True, order=0)
+        if fmt is not None:
+            buf, row_len = fmt
+            cum = np.zeros(row_len.size + 1, np.int64)
+            np.cumsum(row_len, out=cum[1:])
+            for r in range(g1 - g0):
+                i = i0 + g0 + r
+                if i % step == 0:
+                    print(f"=====finish: {i}", file=sys.stderr)
+                yield i
+                blo = int(cum[bounds[r]])
+                bhi = int(cum[bounds[r + 1]])
+                if bhi > blo:
+                    yield buf[blo:bhi].decode("utf-8")
+            continue
         for r in range(g1 - g0):
             i = i0 + g0 + r
             if i % step == 0:
@@ -280,6 +307,52 @@ def dist_rows(ref: SketchSet, query: SketchSet, common: np.ndarray,
     if progress_offset == 0:
         print(f"=====total: {total}", file=sys.stderr)
     f = _containment_aaf if containment else _jaccard_mash
+
+    if not is_neighbor:
+        # vectorized emission over query-row GROUPS of the block (the
+        # same ~128 MB temporary bound as _alldist_block_rows — one
+        # whole-block mask + format buffer is unbounded when maxDist
+        # admits everything): candidate mask -> i-major pairs -> one
+        # native format call per group (dist's threshold is
+        # ``<= maxDist``, strict=False; query name prints first with
+        # size0 = ref size, order=1)
+        from ..native import NameBlob, format_rows
+
+        nr = len(rnames)
+        qblob, rblob = NameBlob(qnames), NameBlob(rnames)
+        rg = max(1, _ROWGROUP_CELLS // max(nr, 1))
+        native_ok = True
+        for g0 in range(0, len(qnames), rg):
+            g1 = min(len(qnames), g0 + rg)
+            mask = _candidate_mask(common[g0:g1], rsizes[None, :],
+                                   qsizes[g0:g1, None], kmer_size,
+                                   max_dist, containment, strict=False)
+            ii, jj = np.nonzero(mask)
+            vals = common[g0 + ii, jj]
+            fmt = format_rows((g0 + ii).astype(np.int32),
+                              jj.astype(np.int32), vals, qsizes, rsizes,
+                              qblob, rblob, kmer_size, max_dist,
+                              containment, strict=False, order=1)
+            if fmt is None:
+                native_ok = False
+                break
+            buf, row_len = fmt
+            cum = np.zeros(row_len.size + 1, np.int64)
+            np.cumsum(row_len, out=cum[1:])
+            bounds = np.searchsorted(ii, np.arange(g1 - g0 + 1))
+            for r in range(g1 - g0):
+                i = g0 + r
+                if (progress_offset + i) % step == 0:
+                    print(f"=====finish: {progress_offset + i}",
+                          file=sys.stderr)
+                yield progress_offset + i
+                blo = int(cum[bounds[r]])
+                bhi = int(cum[bounds[r + 1]])
+                if bhi > blo:
+                    yield buf[blo:bhi].decode("utf-8")
+        if native_ok:
+            return
+
     for i in range(len(qnames)):
         if (progress_offset + i) % step == 0:
             print(f"=====finish: {progress_offset + i}", file=sys.stderr)
@@ -418,6 +491,35 @@ def _counts(hashes0, hashes1, vocab0=None):
     return common_counts(hashes0, hashes1, vocab0=vocab0)
 
 
+def _sort_postings(allh: np.ndarray, gids: np.ndarray):
+    """Stable sort of (hash, genome) pairs by hash — the inverted-index
+    build's only super-linear step.  Native multithreaded radix sort
+    when the toolchain is available (hashes < 2^32 pack the gid into the
+    key's payload bits; wider hashes permute the gid as a value);
+    np.argsort otherwise.  Returns (sorted_hashes, permuted_gids)."""
+    if allh.size == 0:
+        return allh, gids
+    from ..native import radix_sort_kv64, radix_sort_u64
+
+    hmax = int(allh.max())
+    bits = max(1, hmax.bit_length())
+    if hmax < (1 << 32):
+        keys = (allh.astype(np.uint64) << np.uint64(32)) | gids.astype(
+            np.uint64)
+        got = radix_sort_u64(keys, 32, 32 + bits)
+        if got is not None:
+            return ((got >> np.uint64(32)).astype(allh.dtype),
+                    (got & np.uint64(0xFFFFFFFF)).astype(np.int32))
+    else:
+        got = radix_sort_kv64(allh.astype(np.uint64),
+                              gids.astype(np.uint64), 0, bits)
+        if got is not None:
+            sk, sv = got
+            return sk.astype(allh.dtype, copy=False), sv.astype(np.int32)
+    order = np.argsort(allh, kind="stable")
+    return allh[order], gids[order]
+
+
 class _CsrIndex:
     """A loaded ``.index``/``.dict`` inverted index, flattened to
     column-major (genome, column) membership pairs.
@@ -445,19 +547,25 @@ class _CsrIndex:
     def from_hashes(cls, hashes: list[np.ndarray]) -> "_CsrIndex":
         """Build the inverted index in memory from per-genome sorted
         hash sets — the reference's transSketches (sketch.cpp:894-1021)
-        as one argsort: postings grouped by hash value, genome ids
+        as one stable sort: postings grouped by hash value, genome ids
         ascending within a hash (stable sort over genome-major input).
+
+        The sort is the config-5 hot build (nnz ~1.5e8 pairs), so it
+        runs as the native multithreaded radix sort when available —
+        hashes < 2^32 pack (hash << 32 | gid) into one u64 keystream
+        sorted by its hash bits only (gid rides in the payload bits);
+        true 64-bit hashes take the key/value variant.  np.argsort is
+        the toolchain-free fallback.
         """
         sizes = np.fromiter((h.size for h in hashes), np.int64,
                             len(hashes))
         allh = (np.concatenate(hashes) if len(hashes)
                 else np.empty(0, np.uint64))
         gids = np.repeat(np.arange(len(hashes), dtype=np.int32), sizes)
-        order = np.argsort(allh, kind="stable")
-        sh = allh[order]
-        del allh
+        sh, sg = _sort_postings(allh, gids)
+        del allh, gids
         # run boundaries of the SORTED hashes (np.unique would sort a
-        # second time — this is the config-5 hot build)
+        # second time)
         if sh.size:
             flags = np.empty(sh.size, bool)
             flags[0] = True
@@ -470,7 +578,7 @@ class _CsrIndex:
         else:
             vocab = sh
             offsets = np.zeros(1, np.int64)
-        return cls(vocab, offsets, gids[order])
+        return cls(vocab, offsets, sg)
 
     def side_pairs(self, j0: int, j1: int):
         """Pairs for genomes [j0, j1) (cols stay globally sorted)."""
@@ -478,17 +586,22 @@ class _CsrIndex:
         return (self.gids[m] - j0).astype(np.int32), self.cols[m]
 
     def strip_runs(self, block: int, n_genomes: int):
-        """All strips' pairs from ONE stable sort by strip id (a
-        boolean scan of the full pair list per strip costs ~2
+        """All strips' pairs from ONE stable counting-sort pass by strip
+        id (a boolean scan of the full pair list per strip costs ~2
         passes/strip — minutes at config-5 scale).  Stability keeps
         cols sorted within each strip (the global order is
         column-major).  Returns (g, c, bounds): strip k's pairs are
         ``g[bounds[k]:bounds[k+1]]`` (GLOBAL genome ids), same for c."""
+        from ..native import partition_pairs
+
+        n_strips = -(-n_genomes // block)
+        got = partition_pairs(self.gids, self.cols, block, n_strips)
+        if got is not None:
+            return got
         strip = self.gids // block
         order = np.argsort(strip, kind="stable")
         g = self.gids[order]
         c = self.cols[order]
-        n_strips = -(-n_genomes // block)
         bounds = np.searchsorted(strip[order], np.arange(n_strips + 1))
         return g, c, bounds
 
@@ -500,7 +613,20 @@ class _CsrIndex:
         posting list).  row_pairs: (local row ids int32, vocab column
         ids, column-sorted)."""
         g0, c0 = row_pairs
-        u0, s0, k0 = np.unique(c0, return_index=True, return_counts=True)
+        # c0 is already column-sorted (strip_runs / _memberships both
+        # guarantee it): run boundaries via flag-diff instead of
+        # np.unique's second sort
+        if c0.size:
+            flags = np.empty(c0.size, bool)
+            flags[0] = True
+            np.not_equal(c0[1:], c0[:-1], out=flags[1:])
+            s0 = np.flatnonzero(flags)
+            u0 = c0[s0]
+            k0 = np.diff(np.append(s0, c0.size))
+        else:
+            u0 = np.empty(0, c0.dtype)
+            s0 = np.empty(0, np.int64)
+            k0 = np.empty(0, np.int64)
         s1 = self.offsets[u0]
         k1 = self.offsets[u0 + 1] - s1
         total = int(np.sum(k0 * k1, dtype=np.int64))
@@ -724,6 +850,9 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
         # here one prefetch thread owns the counting
         from concurrent.futures import ThreadPoolExecutor
 
+        from ..native import NameBlob
+
+        blob = NameBlob(names)
         strips = [np.empty((min(block, n), n), np.int32) for _ in range(2)]
         with ThreadPoolExecutor(max_workers=1) as ex:
             fut = ex.submit(count_strip, strips[0], 0)
@@ -734,7 +863,8 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
                     fut = ex.submit(count_strip, strips[(k + 1) % 2], nxt)
                 yield from _alldist_block_rows(names, sizes, common_blk,
                                                i0, kmer_size, max_dist,
-                                               containment, step)
+                                               containment, step,
+                                               blob=blob)
 
     _write_rows(row_gen(), names, output_file)
 

@@ -95,7 +95,116 @@ def load_native():
                 ct.c_int64, ct.POINTER(ct.c_int32), ct.c_int64,
                 ct.c_int32, ct.c_int32,
             ]
+            _LIB.kssd_radix_sort_u64.restype = ct.c_int
+            _LIB.kssd_radix_sort_u64.argtypes = [
+                ct.POINTER(ct.c_uint64), ct.POINTER(ct.c_uint64),
+                ct.c_int64, ct.c_int, ct.c_int, ct.c_int,
+            ]
+            _LIB.kssd_radix_sort_kv64.restype = ct.c_int
+            _LIB.kssd_radix_sort_kv64.argtypes = [
+                ct.POINTER(ct.c_uint64), ct.POINTER(ct.c_uint64),
+                ct.POINTER(ct.c_uint64), ct.POINTER(ct.c_uint64),
+                ct.c_int64, ct.c_int, ct.c_int, ct.c_int,
+            ]
+            _LIB.kssd_partition_pairs.restype = None
+            _LIB.kssd_partition_pairs.argtypes = [
+                ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+                ct.c_int64, ct.c_int32, ct.c_int32,
+                ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+                ct.POINTER(ct.c_int64), ct.c_int,
+            ]
+            _LIB.kssd_format_rows.restype = ct.c_int64
+            _LIB.kssd_format_rows.argtypes = [
+                ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+                ct.POINTER(ct.c_int32), ct.c_int64,
+                ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
+                ct.c_char_p, ct.POINTER(ct.c_int64),
+                ct.c_char_p, ct.POINTER(ct.c_int64),
+                ct.c_int32, ct.c_double, ct.c_int32, ct.c_int32,
+                ct.c_int32, ct.POINTER(ct.c_char), ct.c_int64,
+                ct.POINTER(ct.c_int32),
+            ]
         return _LIB
+
+
+def _nthreads(n: int) -> int:
+    return max(1, min(os.cpu_count() or 1, 8, n))
+
+
+def radix_sort_u64(keys, lo_bit: int, hi_bit: int):
+    """Stable sort of a u64 array by bits [lo_bit, hi_bit) (payload bits
+    outside the range ride along).  Returns the sorted array, or None if
+    the toolchain is unavailable.  ``keys`` is consumed (ping-pong
+    buffer)."""
+    import ctypes as ct
+
+    import numpy as np
+
+    lib = load_native()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, np.uint64)
+    tmp = np.empty_like(keys)
+    flip = lib.kssd_radix_sort_u64(
+        keys.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+        tmp.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+        ct.c_int64(keys.size), lo_bit, hi_bit, _nthreads(keys.size),
+    )
+    return tmp if flip else keys
+
+
+def radix_sort_kv64(keys, vals, lo_bit: int, hi_bit: int):
+    """Stable sort of u64 keys by bits [lo_bit, hi_bit) with a u64
+    payload permuted alongside.  Returns (sorted_keys, permuted_vals) or
+    None; both inputs are consumed."""
+    import ctypes as ct
+
+    import numpy as np
+
+    lib = load_native()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, np.uint64)
+    vals = np.ascontiguousarray(vals, np.uint64)
+    tk = np.empty_like(keys)
+    tv = np.empty_like(vals)
+    flip = lib.kssd_radix_sort_kv64(
+        keys.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+        vals.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+        tk.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+        tv.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+        ct.c_int64(keys.size), lo_bit, hi_bit, _nthreads(keys.size),
+    )
+    return (tk, tv) if flip else (keys, vals)
+
+
+def partition_pairs(gids, cols, block: int, n_strips: int):
+    """Stable partition of (gid i32, col i32) pairs by strip gid//block:
+    one counting-sort pass (dist_engine strip grouping).  Returns
+    (g_out, c_out, bounds i64[n_strips+1]) or None.  Requires
+    n_strips <= 65536."""
+    import ctypes as ct
+
+    import numpy as np
+
+    lib = load_native()
+    if lib is None or n_strips > 65536:
+        return None
+    gids = np.ascontiguousarray(gids, np.int32)
+    cols = np.ascontiguousarray(cols, np.int32)
+    g_out = np.empty_like(gids)
+    c_out = np.empty_like(cols)
+    bounds = np.empty(n_strips + 1, np.int64)
+    lib.kssd_partition_pairs(
+        gids.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        cols.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        ct.c_int64(gids.size), ct.c_int32(block), ct.c_int32(n_strips),
+        g_out.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        c_out.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        bounds.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        _nthreads(gids.size),
+    )
+    return g_out, c_out, bounds
 
 
 def pair_count_native(g0, s0, k0, g1, s1, k1, out, threads: int = 0):
@@ -145,6 +254,67 @@ def pair_count_native(g0, s0, k0, g1, s1, k1, out, threads: int = 0):
         list(ex.map(lambda t: run(bounds[t], bounds[t + 1]),
                     range(nthreads)))
     return True
+
+
+class NameBlob:
+    """Concatenated UTF-8 name bytes + int64 offsets (name k occupies
+    ``blob[off[k]:off[k+1]]``) — the zero-copy name table the native
+    row formatter indexes."""
+
+    def __init__(self, names: list[str]):
+        import numpy as np
+
+        enc = [n.encode("utf-8") for n in names]
+        self.blob = b"".join(enc)
+        self.off = np.zeros(len(enc) + 1, np.int64)
+        np.cumsum([len(e) for e in enc], out=self.off[1:])
+        self.lens = np.diff(self.off)
+
+
+def format_rows(ii, jj, cc, sizes_i, sizes_j, blob_i: "NameBlob",
+                blob_j: "NameBlob", kmer_size: int, max_dist: float,
+                containment: bool, strict: bool, order: int):
+    """Exact distance-row text for prefiltered candidates (the
+    reference's per-pair recompute + fprintf, dist.cpp:206-256).
+
+    Returns (buf bytes, row_len int32[n]) — row t's text occupies
+    ``buf[cum[t]:cum[t+1]]`` where cum = cumsum(row_len); rejected rows
+    have length 0.  None if the toolchain is unavailable.
+    """
+    import ctypes as ct
+
+    import numpy as np
+
+    lib = load_native()
+    if lib is None:
+        return None
+    ii = np.ascontiguousarray(ii, np.int32)
+    jj = np.ascontiguousarray(jj, np.int32)
+    cc = np.ascontiguousarray(cc, np.int32)
+    sizes_i = np.ascontiguousarray(sizes_i, np.int64)
+    sizes_j = np.ascontiguousarray(sizes_j, np.int64)
+    n = ii.size
+    cap = int(blob_i.lens[ii].sum() + blob_j.lens[jj].sum()) + 96 * n + 96
+    out = np.empty(cap, np.uint8)
+    row_len = np.empty(n, np.int32)
+    w = lib.kssd_format_rows(
+        ii.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        jj.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        cc.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        ct.c_int64(n),
+        sizes_i.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        sizes_j.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        blob_i.blob, blob_i.off.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        blob_j.blob, blob_j.off.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        ct.c_int32(kmer_size), ct.c_double(max_dist),
+        ct.c_int32(1 if containment else 0),
+        ct.c_int32(1 if strict else 0), ct.c_int32(order),
+        out.ctypes.data_as(ct.POINTER(ct.c_char)), ct.c_int64(cap),
+        row_len.ctypes.data_as(ct.POINTER(ct.c_int32)),
+    )
+    if w < 0:
+        raise MemoryError("format_rows buffer overflow")
+    return out[:w].tobytes(), row_len
 
 
 def _take_i32(lib, ptr, n):

@@ -1,0 +1,174 @@
+// Multithreaded stable LSD radix sort + counting-sort partition for the
+// inverted-index build (engine/dist_engine.py _CsrIndex).
+//
+// The reference builds its inverted index with a dense per-slot
+// vector<vector> scatter (/root/reference/src/sketch.cpp:971-1016); the
+// TPU build's sparse equivalent is one stable sort of all (hash, genome)
+// pairs — np.argsort is the measured config-5 wall (~16 s per 38M pairs,
+// single-threaded comparison sort).  These kernels run at memory speed:
+// 16-bit digits, per-thread block histograms, block-ordered scatter
+// (stable by construction: blocks are scanned in order and each digit's
+// write cursor advances in block order).
+//
+// Threading contract: callers pass n_threads; ctypes releases the GIL.
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int kDigitBits = 16;
+constexpr int kRadix = 1 << kDigitBits;
+
+struct Span {
+    int64_t lo, hi;
+};
+
+static std::vector<Span> split(int64_t n, int t) {
+    std::vector<Span> s(t);
+    for (int i = 0; i < t; ++i)
+        s[i] = {n * i / t, n * (i + 1) / t};
+    return s;
+}
+
+// One stable counting-sort pass moving src -> dst by digit(key).
+// KeyFn: element index -> digit in [0, radix).  MoveFn: (src_i, dst_i).
+template <typename KeyFn, typename MoveFn>
+static void counting_pass(int64_t n, int radix, int n_threads, KeyFn digit,
+                          MoveFn move) {
+    auto spans = split(n, n_threads);
+    std::vector<std::vector<int64_t>> hist(
+        n_threads, std::vector<int64_t>(radix, 0));
+    {
+        std::vector<std::thread> th;
+        for (int t = 0; t < n_threads; ++t)
+            th.emplace_back([&, t] {
+                auto &h = hist[t];
+                for (int64_t i = spans[t].lo; i < spans[t].hi; ++i)
+                    h[digit(i)]++;
+            });
+        for (auto &x : th) x.join();
+    }
+    // exclusive offsets in (digit, block) order
+    int64_t run = 0;
+    for (int d = 0; d < radix; ++d)
+        for (int t = 0; t < n_threads; ++t) {
+            int64_t c = hist[t][d];
+            hist[t][d] = run;
+            run += c;
+        }
+    {
+        std::vector<std::thread> th;
+        for (int t = 0; t < n_threads; ++t)
+            th.emplace_back([&, t] {
+                auto &h = hist[t];
+                for (int64_t i = spans[t].lo; i < spans[t].hi; ++i)
+                    move(i, h[digit(i)]++);
+            });
+        for (auto &x : th) x.join();
+    }
+}
+
+}  // namespace
+
+// Stable radix sort of u64 keys by bits [lo_bit, hi_bit), 16 bits per
+// pass.  Returns 0 if the sorted data ends in `keys`, 1 if in `tmp`
+// (the caller owns both buffers and picks).  Bits outside the range are
+// carried untouched — callers pack payloads into the low bits.
+extern "C" int kssd_radix_sort_u64(uint64_t *keys, uint64_t *tmp, int64_t n,
+                                   int lo_bit, int hi_bit, int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    uint64_t *src = keys, *dst = tmp;
+    int flip = 0;
+    for (int shift = lo_bit; shift < hi_bit; shift += kDigitBits) {
+        const int bits = hi_bit - shift < kDigitBits ? hi_bit - shift
+                                                     : kDigitBits;
+        const uint64_t mask = (uint64_t(1) << bits) - 1;
+        counting_pass(
+            n, int(mask) + 1, n_threads,
+            [&](int64_t i) { return int((src[i] >> shift) & mask); },
+            [&](int64_t i, int64_t o) { dst[o] = src[i]; });
+        std::swap(src, dst);
+        flip ^= 1;
+    }
+    return flip;
+}
+
+// Key-value variant: u64 keys sorted by bits [lo_bit, hi_bit) with a
+// u64 payload permuted alongside (for 64-bit hash spaces whose keys
+// have no spare low bits).  Same return contract as above, applying to
+// both (keys, vals) vs (tkeys, tvals).
+extern "C" int kssd_radix_sort_kv64(uint64_t *keys, uint64_t *vals,
+                                    uint64_t *tkeys, uint64_t *tvals,
+                                    int64_t n, int lo_bit, int hi_bit,
+                                    int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    uint64_t *ks = keys, *kd = tkeys, *vs = vals, *vd = tvals;
+    int flip = 0;
+    for (int shift = lo_bit; shift < hi_bit; shift += kDigitBits) {
+        const int bits = hi_bit - shift < kDigitBits ? hi_bit - shift
+                                                     : kDigitBits;
+        const uint64_t mask = (uint64_t(1) << bits) - 1;
+        counting_pass(
+            n, int(mask) + 1, n_threads,
+            [&](int64_t i) { return int((ks[i] >> shift) & mask); },
+            [&](int64_t i, int64_t o) {
+                kd[o] = ks[i];
+                vd[o] = vs[i];
+            });
+        std::swap(ks, kd);
+        std::swap(vs, vd);
+        flip ^= 1;
+    }
+    return flip;
+}
+
+// Stable partition of (gid, col) pair lists by strip id gid / block —
+// the blocked-distance strip grouping (dist_engine _CsrIndex.strip_runs)
+// as ONE counting-sort pass (np.argsort re-sorts 150M pairs by a
+// ~100-value key).  bounds[k] receives the exclusive prefix sum: strip
+// k's pairs land at [bounds[k], bounds[k+1]).  n_strips must satisfy
+// (max gid / block) < n_strips <= 65536.
+extern "C" void kssd_partition_pairs(const int32_t *gids, const int32_t *cols,
+                                     int64_t n, int32_t block,
+                                     int32_t n_strips, int32_t *g_out,
+                                     int32_t *c_out, int64_t *bounds,
+                                     int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    auto spans = split(n, n_threads);
+    std::vector<std::vector<int64_t>> hist(
+        n_threads, std::vector<int64_t>(n_strips, 0));
+    {
+        std::vector<std::thread> th;
+        for (int t = 0; t < n_threads; ++t)
+            th.emplace_back([&, t] {
+                auto &h = hist[t];
+                for (int64_t i = spans[t].lo; i < spans[t].hi; ++i)
+                    h[gids[i] / block]++;
+            });
+        for (auto &x : th) x.join();
+    }
+    int64_t run = 0;
+    for (int32_t d = 0; d < n_strips; ++d) {
+        bounds[d] = run;
+        for (int t = 0; t < n_threads; ++t) {
+            int64_t c = hist[t][d];
+            hist[t][d] = run;
+            run += c;
+        }
+    }
+    bounds[n_strips] = run;
+    std::vector<std::thread> th;
+    for (int t = 0; t < n_threads; ++t)
+        th.emplace_back([&, t] {
+            auto &h = hist[t];
+            for (int64_t i = spans[t].lo; i < spans[t].hi; ++i) {
+                int64_t o = h[gids[i] / block]++;
+                g_out[o] = gids[i];
+                c_out[o] = cols[i];
+            }
+        });
+    for (auto &x : th) x.join();
+}
