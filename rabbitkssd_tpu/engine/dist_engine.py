@@ -170,8 +170,13 @@ def _alldist_block_rows(names, sizes, common_blk: np.ndarray, i0: int,
                 > i0 + g0 + np.arange(g1 - g0)[:, None]
             )
         else:
-            # candidates need common > 0: gather the sparse entries only
-            bi_nz, j_nz = np.nonzero(cblk)
+            # candidates need common > 0: gather the sparse entries
+            # only, scanning only columns a row of this group can emit
+            # (j > i0 + g0; also keeps the scan off the j < i0 strip
+            # region the col_lo-trimmed walk leaves stale)
+            jmin = i0 + g0 + 1
+            bi_nz, j_nz = np.nonzero(cblk[:, jmin:])
+            j_nz += jmin
             tri = j_nz > i0 + g0 + bi_nz
             bi_nz, j_nz = bi_nz[tri], j_nz[tri]
         vals = cblk[bi_nz, j_nz]
@@ -531,17 +536,17 @@ class _CsrIndex:
     to the same chunked MXU matmul loop as the recompute path.
     """
 
-    def __init__(self, vocab, offsets, postings):
+    def __init__(self, vocab, offsets, postings, cols=None):
         self.vocab = vocab
         # int32 throughout while it fits: vocab positions, genome ids
         # and (usually) posting offsets are < 2^31 — these arrays
         # dominate the index's host footprint at config-5 scale
         odt = np.int64 if postings.size > (1 << 31) - 1 else np.int32
         self.offsets = np.asarray(offsets, odt)
-        self.cols = np.repeat(
+        self.cols = (cols if cols is not None else np.repeat(
             np.arange(len(vocab), dtype=np.int32), np.diff(offsets)
-        )
-        self.gids = postings.astype(np.int32)
+        ))
+        self.gids = postings.astype(np.int32, copy=False)
 
     @classmethod
     def from_hashes(cls, hashes: list[np.ndarray]) -> "_CsrIndex":
@@ -561,6 +566,14 @@ class _CsrIndex:
                             len(hashes))
         allh = (np.concatenate(hashes) if len(hashes)
                 else np.empty(0, np.uint64))
+        if allh.size:
+            from ..native import build_postings
+
+            bits = max(1, int(allh.max()).bit_length())
+            got = build_postings(allh, sizes, bits)
+            if got is not None:
+                sh, sg, cols, offsets = got
+                return cls(sh[offsets[:-1]], offsets, sg, cols=cols)
         gids = np.repeat(np.arange(len(hashes), dtype=np.int32), sizes)
         sh, sg = _sort_postings(allh, gids)
         del allh, gids
@@ -632,14 +645,17 @@ class _CsrIndex:
         total = int(np.sum(k0 * k1, dtype=np.int64))
         return g0, (u0, s0, k0.astype(np.int64), s1, k1, total)
 
-    def walk(self, blk: np.ndarray, layout_pack) -> None:
+    def walk(self, blk: np.ndarray, layout_pack, col_lo: int = 0) -> None:
         """Count the layout's rows vs all genomes into blk int32[bi, n]
-        (native posting walk; numpy expansion fallback)."""
+        (native posting walk; numpy expansion fallback).  col_lo > 0
+        restricts counting + zeroing to columns >= col_lo — the
+        upper-triangle trim (blk[:, :col_lo] keeps stale contents)."""
         from ..ops.distance import _pair_counts_host
 
         g0, layout = layout_pack
         _pair_counts_host(g0, None, self.gids, None, blk.shape[0],
-                          blk.shape[1], layout=layout, out=blk)
+                          blk.shape[1], layout=layout, out=blk,
+                          col_lo=col_lo)
 
     def query_pairs(self, q_hashes: list[np.ndarray]):
         """Membership pairs of query hash arrays against the index vocab."""
@@ -703,7 +719,7 @@ def _load_csr(sketch_path: str | None, use64: bool,
     return _CsrIndex(*got)
 
 
-def _use_walk(layout_pack, bi: int, n1: int) -> bool:
+def _use_walk(layout_pack, bi: int, n1: int, col_lo: int = 0) -> bool:
     """Cost-model dispatch between the native posting walk (the
     reference's dist.cpp:174-204 algorithm) and the MXU membership
     matmuls for one strip.
@@ -725,10 +741,12 @@ def _use_walk(layout_pack, bi: int, n1: int) -> bool:
     if jax.default_backend() == "cpu":
         return True
     _, layout = layout_pack
-    join = layout[-1]
+    # col_lo trims side-1 postings below it inside the walk; scale the
+    # join estimate by the surviving column fraction (uniform approx)
+    join = layout[-1] * (n1 - col_lo) / max(n1, 1)
     width = len(layout[0])  # strip vocab size
     walk_s = join / float(os.environ.get("KSSD_WALK_RATE", 1e9))
-    mxu_s = (2.0 * bi * n1 * width
+    mxu_s = (2.0 * bi * (n1 - col_lo) * width
              / float(os.environ.get("KSSD_MXU_RATE", 2e12))) + 0.05
     return walk_s < mxu_s
 
@@ -831,12 +849,14 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
         sl = slice(sbounds[i0 // block], sbounds[i0 // block + 1])
         row_pairs = ((g_all[sl] - i0).astype(np.int32), c_all[sl])
         lp = csr.walk_layout(row_pairs)
-        if _use_walk(lp, bi, n):
-            csr.walk(common_blk, lp)
+        if _use_walk(lp, bi, n, col_lo=i0):
+            # emission only reads j > i >= i0: the walk + memset skip
+            # columns < i0 entirely (strictly upper-triangle work;
+            # stale strip contents there are never read)
+            csr.walk(common_blk, lp, col_lo=i0)
             return common_blk
         # emission reads columns j > i >= i0 only, so tiles with
         # J < I are never needed: strictly upper-triangle work
-        common_blk[:] = 0
         for j0 in range(i0, n, block):
             j1 = min(n, j0 + block)
             common_blk[:, j0:j1] = csr.counts(

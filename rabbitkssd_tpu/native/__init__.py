@@ -93,7 +93,7 @@ def load_native():
                 ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int32),
                 ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
                 ct.c_int64, ct.POINTER(ct.c_int32), ct.c_int64,
-                ct.c_int32, ct.c_int32,
+                ct.c_int32, ct.c_int32, ct.c_int32,
             ]
             _LIB.kssd_radix_sort_u64.restype = ct.c_int
             _LIB.kssd_radix_sort_u64.argtypes = [
@@ -105,6 +105,20 @@ def load_native():
                 ct.POINTER(ct.c_uint64), ct.POINTER(ct.c_uint64),
                 ct.POINTER(ct.c_uint64), ct.POINTER(ct.c_uint64),
                 ct.c_int64, ct.c_int, ct.c_int, ct.c_int,
+            ]
+            _LIB.kssd_build_postings32.restype = ct.c_int64
+            _LIB.kssd_build_postings32.argtypes = [
+                ct.POINTER(ct.c_uint32), ct.c_int64,
+                ct.POINTER(ct.c_int64), ct.c_int32, ct.c_int,
+                ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_int32),
+                ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int64), ct.c_int,
+            ]
+            _LIB.kssd_build_postings64.restype = ct.c_int64
+            _LIB.kssd_build_postings64.argtypes = [
+                ct.POINTER(ct.c_uint64), ct.c_int64,
+                ct.POINTER(ct.c_int64), ct.c_int32, ct.c_int,
+                ct.POINTER(ct.c_uint64), ct.POINTER(ct.c_int32),
+                ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int64), ct.c_int,
             ]
             _LIB.kssd_partition_pairs.restype = None
             _LIB.kssd_partition_pairs.argtypes = [
@@ -178,6 +192,52 @@ def radix_sort_kv64(keys, vals, lo_bit: int, hi_bit: int):
     return (tk, tv) if flip else (keys, vals)
 
 
+def build_postings(hashes, sizes, hash_bits: int):
+    """Full inverted-index build from a concatenated hash tape: stable
+    radix sort of (hash, genome) pairs plus run-boundary detection and
+    per-pair vocabulary column ids, all native (the pack/sort/unpack
+    numpy temporaries around the raw sort were the measured config-5
+    index-build wall).  ``hashes`` is the genome-major concatenation,
+    ``sizes`` the per-genome pair counts.  Returns
+    (sorted_hashes, sorted_gids i32, cols i32, offsets i64[nv+1]) or
+    None if the toolchain is unavailable.
+    """
+    import ctypes as ct
+
+    import numpy as np
+
+    lib = load_native()
+    if lib is None:
+        return None
+    sizes = np.ascontiguousarray(sizes, np.int64)
+    n = int(sizes.sum())
+    g = len(sizes)
+    use64 = hashes.dtype.itemsize > 4 and hash_bits > 32
+    hdt = np.uint64 if use64 else np.uint32
+    hashes = np.ascontiguousarray(hashes, hdt)
+    sh = np.empty(n, hdt)
+    sg = np.empty(n, np.int32)
+    cols = np.empty(n, np.int32)
+    starts = np.empty(n + 1, np.int64)
+    fn = lib.kssd_build_postings64 if use64 else lib.kssd_build_postings32
+    cptr = ct.POINTER(ct.c_uint64 if use64 else ct.c_uint32)
+    nv = fn(
+        hashes.ctypes.data_as(cptr), ct.c_int64(n),
+        sizes.ctypes.data_as(ct.POINTER(ct.c_int64)), ct.c_int32(g),
+        ct.c_int(hash_bits), sh.ctypes.data_as(cptr),
+        sg.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        cols.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        starts.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        _nthreads(n),
+    )
+    if nv < 0:
+        raise MemoryError("native postings build allocation failed")
+    offsets = np.empty(nv + 1, np.int64)
+    offsets[:nv] = starts[:nv]
+    offsets[nv] = n
+    return sh, sg, cols, offsets
+
+
 def partition_pairs(gids, cols, block: int, n_strips: int):
     """Stable partition of (gid i32, col i32) pairs by strip gid//block:
     one counting-sort pass (dist_engine strip grouping).  Returns
@@ -207,11 +267,14 @@ def partition_pairs(gids, cols, block: int, n_strips: int):
     return g_out, c_out, bounds
 
 
-def pair_count_native(g0, s0, k0, g1, s1, k1, out, threads: int = 0):
+def pair_count_native(g0, s0, k0, g1, s1, k1, out, threads: int = 0,
+                      col_lo: int = 0):
     """Join-layout posting-list counting into ``out`` int32[n0, n1]
     (the reference's dist.cpp:174-204 walk).  Threads split the output
     row space — the reference's per-thread privatized counter rows
-    without the copies.  Returns False if the toolchain is unavailable.
+    without the copies.  col_lo > 0 skips side-1 genomes below it (the
+    upper-triangle trim; out columns < col_lo are left untouched).
+    Returns False if the toolchain is unavailable.
     """
     import ctypes as ct
 
@@ -240,6 +303,7 @@ def pair_count_native(g0, s0, k0, g1, s1, k1, out, threads: int = 0):
             ct.c_int64(len(s0)),
             out.ctypes.data_as(ct.POINTER(ct.c_int32)),
             ct.c_int64(n1), ct.c_int32(row_lo), ct.c_int32(row_hi),
+            ct.c_int32(col_lo),
         )
 
     nthreads = threads or min(os.cpu_count() or 1, 8)

@@ -16,17 +16,30 @@
 // columns, touching only its own rows — no atomics, no false sharing
 // beyond row boundaries.  ctypes releases the GIL for the call.
 
+#include <algorithm>
 #include <cstdint>
 
+// col_lo: skip all side-1 genomes < col_lo (upper-triangle alldist
+// strips only emit j > i >= col_lo; gj runs are gid-ascending — the
+// stable index sort — so one lower_bound per column trims the join).
 extern "C" void kssd_pair_count(const int32_t *g0, const int64_t *s0,
                                 const int64_t *k0, const int32_t *g1,
                                 const int64_t *s1, const int64_t *k1,
                                 int64_t n_cols, int32_t *out, int64_t n1,
-                                int32_t row_lo, int32_t row_hi) {
+                                int32_t row_lo, int32_t row_hi,
+                                int32_t col_lo) {
     for (int64_t c = 0; c < n_cols; ++c) {
         const int32_t *gi = g0 + s0[c];
         const int32_t *gj = g1 + s1[c];
-        const int64_t a = k0[c], b = k1[c];
+        const int64_t a = k0[c];
+        int64_t b = k1[c];
+        if (col_lo > 0) {
+            const int32_t *p = std::lower_bound(gj, gj + b, col_lo);
+            b -= p - gj;
+            gj = p;
+        }
+        if (b == 0)
+            continue;
         for (int64_t x = 0; x < a; ++x) {
             const int32_t i = gi[x];
             if (i < row_lo || i >= row_hi)

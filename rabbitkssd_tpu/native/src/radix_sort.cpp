@@ -12,7 +12,9 @@
 //
 // Threading contract: callers pass n_threads; ctypes releases the GIL.
 
+#include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -123,6 +125,180 @@ extern "C" int kssd_radix_sort_kv64(uint64_t *keys, uint64_t *vals,
         flip ^= 1;
     }
     return flip;
+}
+
+// Full inverted-index build from concatenated per-genome hash arrays:
+// pack (hash, gid) keys, stable radix sort by the hash bits, then
+// unpack sorted hashes + gids while detecting hash-run boundaries and
+// assigning each pair its vocabulary column id — everything the Python
+// side previously did with ~6 numpy temporaries over the 150M-pair
+// config-5 payload (the measured index-build wall after the sort
+// itself went native).  Writes sh/sg/cols (all length n) and
+// starts[0..nv), returns nv (the vocabulary size), or -1 on alloc
+// failure.  Stability by hash keeps gids ascending within a run
+// (genome-major input), the reference's posting-list order
+// (/root/reference/src/sketch.cpp:894-1021).
+extern "C" int64_t kssd_build_postings32(const uint32_t *hashes, int64_t n,
+                                         const int64_t *sizes, int32_t G,
+                                         int hash_bits, uint32_t *sh,
+                                         int32_t *sg, int32_t *cols,
+                                         int64_t *starts, int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    if (n == 0) return 0;
+    uint64_t *keys = (uint64_t *)malloc(size_t(n) * 8);
+    uint64_t *tmp = (uint64_t *)malloc(size_t(n) * 8);
+    if (!keys || !tmp) {
+        free(keys);
+        free(tmp);
+        return -1;
+    }
+    // genome offsets (prefix of sizes)
+    std::vector<int64_t> off(size_t(G) + 1);
+    off[0] = 0;
+    for (int32_t g = 0; g < G; ++g) off[g + 1] = off[g] + sizes[g];
+    auto spans = split(n, n_threads);
+    {
+        std::vector<std::thread> th;
+        for (int t = 0; t < n_threads; ++t)
+            th.emplace_back([&, t] {
+                int64_t lo = spans[t].lo, hi = spans[t].hi;
+                // first genome overlapping this span
+                int32_t g = int32_t(std::upper_bound(off.begin(), off.end(),
+                                                     lo) -
+                                    off.begin()) -
+                            1;
+                for (int64_t i = lo; i < hi; ++i) {
+                    while (i >= off[g + 1]) ++g;
+                    keys[i] = (uint64_t(hashes[i]) << 32) | uint32_t(g);
+                }
+            });
+        for (auto &x : th) x.join();
+    }
+    int flip = kssd_radix_sort_u64(keys, tmp, n, 32, 32 + hash_bits,
+                                   n_threads);
+    const uint64_t *src = flip ? tmp : keys;
+    // pass A: boundary counts per span
+    std::vector<int64_t> nb(n_threads);
+    {
+        std::vector<std::thread> th;
+        for (int t = 0; t < n_threads; ++t)
+            th.emplace_back([&, t] {
+                int64_t c = 0;
+                for (int64_t i = spans[t].lo; i < spans[t].hi; ++i)
+                    if (i == 0 || (src[i] >> 32) != (src[i - 1] >> 32)) ++c;
+                nb[t] = c;
+            });
+        for (auto &x : th) x.join();
+    }
+    int64_t nv = 0;
+    std::vector<int64_t> vbase(n_threads);
+    for (int t = 0; t < n_threads; ++t) {
+        vbase[t] = nv;
+        nv += nb[t];
+    }
+    // pass B: unpack + starts + per-pair column ids
+    {
+        std::vector<std::thread> th;
+        for (int t = 0; t < n_threads; ++t)
+            th.emplace_back([&, t] {
+                int64_t v = vbase[t];
+                for (int64_t i = spans[t].lo; i < spans[t].hi; ++i) {
+                    if (i == 0 || (src[i] >> 32) != (src[i - 1] >> 32))
+                        starts[v++] = i;
+                    sh[i] = uint32_t(src[i] >> 32);
+                    sg[i] = int32_t(uint32_t(src[i]));
+                    cols[i] = int32_t(v - 1);
+                }
+            });
+        for (auto &x : th) x.join();
+    }
+    free(keys);
+    free(tmp);
+    return nv;
+}
+
+// 64-bit hash variant (use64 sketches, no spare key bits): key/value
+// sort with the gid as payload, then the same unpack/boundary pass.
+extern "C" int64_t kssd_build_postings64(const uint64_t *hashes, int64_t n,
+                                         const int64_t *sizes, int32_t G,
+                                         int hash_bits, uint64_t *sh,
+                                         int32_t *sg, int32_t *cols,
+                                         int64_t *starts, int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    if (n == 0) return 0;
+    uint64_t *keys = (uint64_t *)malloc(size_t(n) * 8);
+    uint64_t *vals = (uint64_t *)malloc(size_t(n) * 8);
+    uint64_t *tk = (uint64_t *)malloc(size_t(n) * 8);
+    uint64_t *tv = (uint64_t *)malloc(size_t(n) * 8);
+    if (!keys || !vals || !tk || !tv) {
+        free(keys);
+        free(vals);
+        free(tk);
+        free(tv);
+        return -1;
+    }
+    std::vector<int64_t> off(size_t(G) + 1);
+    off[0] = 0;
+    for (int32_t g = 0; g < G; ++g) off[g + 1] = off[g] + sizes[g];
+    auto spans = split(n, n_threads);
+    {
+        std::vector<std::thread> th;
+        for (int t = 0; t < n_threads; ++t)
+            th.emplace_back([&, t] {
+                int64_t lo = spans[t].lo, hi = spans[t].hi;
+                int32_t g = int32_t(std::upper_bound(off.begin(), off.end(),
+                                                     lo) -
+                                    off.begin()) -
+                            1;
+                for (int64_t i = lo; i < hi; ++i) {
+                    while (i >= off[g + 1]) ++g;
+                    keys[i] = hashes[i];
+                    vals[i] = uint64_t(uint32_t(g));
+                }
+            });
+        for (auto &x : th) x.join();
+    }
+    int flip = kssd_radix_sort_kv64(keys, vals, tk, tv, n, 0, hash_bits,
+                                    n_threads);
+    const uint64_t *ks = flip ? tk : keys;
+    const uint64_t *vs = flip ? tv : vals;
+    std::vector<int64_t> nb(n_threads);
+    {
+        std::vector<std::thread> th;
+        for (int t = 0; t < n_threads; ++t)
+            th.emplace_back([&, t] {
+                int64_t c = 0;
+                for (int64_t i = spans[t].lo; i < spans[t].hi; ++i)
+                    if (i == 0 || ks[i] != ks[i - 1]) ++c;
+                nb[t] = c;
+            });
+        for (auto &x : th) x.join();
+    }
+    int64_t nv = 0;
+    std::vector<int64_t> vbase(n_threads);
+    for (int t = 0; t < n_threads; ++t) {
+        vbase[t] = nv;
+        nv += nb[t];
+    }
+    {
+        std::vector<std::thread> th;
+        for (int t = 0; t < n_threads; ++t)
+            th.emplace_back([&, t] {
+                int64_t v = vbase[t];
+                for (int64_t i = spans[t].lo; i < spans[t].hi; ++i) {
+                    if (i == 0 || ks[i] != ks[i - 1]) starts[v++] = i;
+                    sh[i] = ks[i];
+                    sg[i] = int32_t(uint32_t(vs[i]));
+                    cols[i] = int32_t(v - 1);
+                }
+            });
+        for (auto &x : th) x.join();
+    }
+    free(keys);
+    free(vals);
+    free(tk);
+    free(tv);
+    return nv;
 }
 
 // Stable partition of (gid, col) pair lists by strip id gid / block —

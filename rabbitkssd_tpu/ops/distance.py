@@ -125,16 +125,23 @@ def _join_layout(c0, c1):
 
 
 def _pair_counts_host(g0, c0, g1, c1, n0: int, n1: int,
-                      layout=None, out=None) -> np.ndarray:
+                      layout=None, out=None, col_lo: int = 0) -> np.ndarray:
     """Exact host-side counting: expand the column join and accumulate.
 
     The numpy analogue of the reference's posting-list walk
     (dist.cpp:193-204) — O(join size), used when device dispatch
     overhead (or, on CPU backends, the dense-matmul formulation's
     FLOPs) would dominate.  The expansion is chunked so temporaries
-    stay bounded however large the join."""
+    stay bounded however large the join.
+
+    col_lo > 0: only count (and zero) columns >= col_lo — the
+    upper-triangle alldist strips never read j < i0, so the walk and
+    the strip memset both skip the lower-left half (out[:, :col_lo]
+    is left with stale contents the caller must not read)."""
     if out is None:
         out = np.zeros((n0, n1), np.int32)
+    elif col_lo > 0:
+        out[:, col_lo:] = 0
     else:
         out[:] = 0
     _, s0, k0, s1, k1, total = (layout if layout is not None
@@ -146,7 +153,7 @@ def _pair_counts_host(g0, c0, g1, c1, n0: int, n1: int,
     # the native walk runs at memory speed (~100x numpy's add.at),
     # threads privatized over output rows like the reference's
     # per-thread counter arrays (dist.cpp:143)
-    if pair_count_native(g0, s0, k0, g1, s1, k1, out):
+    if pair_count_native(g0, s0, k0, g1, s1, k1, out, col_lo=col_lo):
         return out
     tot = (k0 * k1).astype(np.int64)
     ends = np.cumsum(tot)
@@ -167,6 +174,9 @@ def _pair_counts_host(g0, c0, g1, c1, n0: int, n1: int,
                   - np.repeat(off0, span) + np.repeat(base, span))
         ii = g0[s0[col_of] + within // k1[col_of]]
         jj = g1[s1[col_of] + within % k1[col_of]]
+        if col_lo > 0:
+            keep = jj >= col_lo
+            ii, jj = ii[keep], jj[keep]
         np.add.at(out, (ii, jj), 1)
     return out
 
