@@ -170,16 +170,28 @@ def _alldist_block_rows(names, sizes, common_blk: np.ndarray, i0: int,
                 > i0 + g0 + np.arange(g1 - g0)[:, None]
             )
         else:
-            # candidates need common > 0: gather the sparse entries
-            # only, scanning only columns a row of this group can emit
-            # (j > i0 + g0; also keeps the scan off the j < i0 strip
-            # region the col_lo-trimmed walk leaves stale)
-            jmin = i0 + g0 + 1
-            bi_nz, j_nz = np.nonzero(cblk[:, jmin:])
-            j_nz += jmin
-            tri = j_nz > i0 + g0 + bi_nz
-            bi_nz, j_nz = bi_nz[tri], j_nz[tri]
-        vals = cblk[bi_nz, j_nz]
+            # candidates need common > 0: gather only the in-triangle
+            # nonzero entries (j > i0 + g0 + row; also keeps the scan
+            # off the j < i0 strip region the col_lo-trimmed walk
+            # leaves stale).  Native: one multithreaded two-pass scan
+            # emitting (row, j, count) triples i-major / j-ascending;
+            # numpy nonzero + triangle filter is the fallback.
+            from ..native import scan_nonzero
+
+            got = (scan_nonzero(cblk, i0 + g0)
+                   if cblk.dtype == np.int32
+                   and cblk.flags["C_CONTIGUOUS"] else None)
+            if got is not None:
+                bi_nz, j_nz, vals = got
+            else:
+                jmin = i0 + g0 + 1
+                bi_nz, j_nz = np.nonzero(cblk[:, jmin:])
+                j_nz += jmin
+                tri = j_nz > i0 + g0 + bi_nz
+                bi_nz, j_nz = bi_nz[tri], j_nz[tri]
+                vals = cblk[bi_nz, j_nz]
+        if include_zero:
+            vals = cblk[bi_nz, j_nz]
         sel = _candidate_mask(vals, sizes[i0 + g0 + bi_nz], sizes[j_nz],
                               kmer_size, max_dist, containment,
                               strict=True)

@@ -127,6 +127,18 @@ def load_native():
                 ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
                 ct.POINTER(ct.c_int64), ct.c_int,
             ]
+            _LIB.kssd_scan_count.restype = None
+            _LIB.kssd_scan_count.argtypes = [
+                ct.POINTER(ct.c_int32), ct.c_int64, ct.c_int64,
+                ct.c_int64, ct.POINTER(ct.c_int64), ct.c_int,
+            ]
+            _LIB.kssd_scan_fill.restype = None
+            _LIB.kssd_scan_fill.argtypes = [
+                ct.POINTER(ct.c_int32), ct.c_int64, ct.c_int64,
+                ct.c_int64, ct.POINTER(ct.c_int64),
+                ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+                ct.POINTER(ct.c_int32), ct.c_int,
+            ]
             _LIB.kssd_format_rows.restype = ct.c_int64
             _LIB.kssd_format_rows.argtypes = [
                 ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
@@ -318,6 +330,46 @@ def pair_count_native(g0, s0, k0, g1, s1, k1, out, threads: int = 0,
         list(ex.map(lambda t: run(bounds[t], bounds[t + 1]),
                     range(nthreads)))
     return True
+
+
+def scan_nonzero(blk, diag: int):
+    """Multithreaded (row, col, value) gather of a strip's nonzero
+    entries above the diagonal: row r scans columns > diag + r
+    (diag < 0: full rows).  Output is i-major with j ascending — the
+    emission candidate order.  Returns (ii i32, jj i32, vv i32) or
+    None if the toolchain is unavailable.  ``blk`` must be C-contiguous
+    int32 [rows, n]."""
+    import ctypes as ct
+
+    import numpy as np
+
+    lib = load_native()
+    if lib is None:
+        return None
+    assert blk.dtype == np.int32 and blk.flags["C_CONTIGUOUS"]
+    rows, n = blk.shape
+    nt = _nthreads(rows * max(n, 1))
+    counts = np.empty(rows, np.int64)
+    p32 = ct.POINTER(ct.c_int32)
+    p64 = ct.POINTER(ct.c_int64)
+    lib.kssd_scan_count(blk.ctypes.data_as(p32), ct.c_int64(rows),
+                        ct.c_int64(n), ct.c_int64(diag),
+                        counts.ctypes.data_as(p64), nt)
+    starts = np.empty(rows, np.int64)
+    total = 0
+    if rows:
+        np.cumsum(counts[:-1], out=starts[1:])
+        starts[0] = 0
+        total = int(starts[-1] + counts[-1])
+    ii = np.empty(total, np.int32)
+    jj = np.empty(total, np.int32)
+    vv = np.empty(total, np.int32)
+    lib.kssd_scan_fill(blk.ctypes.data_as(p32), ct.c_int64(rows),
+                       ct.c_int64(n), ct.c_int64(diag),
+                       starts.ctypes.data_as(p64),
+                       ii.ctypes.data_as(p32), jj.ctypes.data_as(p32),
+                       vv.ctypes.data_as(p32), nt)
+    return ii, jj, vv
 
 
 class NameBlob:

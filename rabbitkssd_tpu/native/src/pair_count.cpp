@@ -32,20 +32,30 @@ extern "C" void kssd_pair_count(const int32_t *g0, const int64_t *s0,
         const int32_t *gi = g0 + s0[c];
         const int32_t *gj = g1 + s1[c];
         const int64_t a = k0[c];
-        int64_t b = k1[c];
-        if (col_lo > 0) {
-            const int32_t *p = std::lower_bound(gj, gj + b, col_lo);
-            b -= p - gj;
-            gj = p;
-        }
-        if (b == 0)
-            continue;
+        const int64_t b = k1[c];
+        // lazy trim: only a thread that OWNS a row of this column ever
+        // touches gj (an eager per-column lower_bound is a random
+        // cache miss paid n_cols x n_threads times — measured 2x the
+        // whole walk at 100k-genome scale); short runs trim by linear
+        // scan since the increments read the same cache lines anyway
+        int64_t y0 = col_lo > 0 ? -1 : 0;
         for (int64_t x = 0; x < a; ++x) {
             const int32_t i = gi[x];
             if (i < row_lo || i >= row_hi)
                 continue;
+            if (y0 < 0) {
+                if (b > 64) {
+                    y0 = std::lower_bound(gj, gj + b, col_lo) - gj;
+                } else {
+                    y0 = 0;
+                    while (y0 < b && gj[y0] < col_lo)
+                        ++y0;
+                }
+                if (y0 == b)
+                    break;
+            }
             int32_t *row = out + (int64_t)i * n1;
-            for (int64_t y = 0; y < b; ++y)
+            for (int64_t y = y0; y < b; ++y)
                 row[gj[y]]++;
         }
     }

@@ -21,6 +21,12 @@
 
 namespace {
 
+// NB: an MADV_HUGEPAGE experiment on these buffers was tried and
+// reverted — this container sets THP defrag=madvise, so advised
+// faults pay synchronous compaction (from_hashes 14.5 s -> 25.2 s
+// at 150M pairs).  Plain malloc + parallel first-touch wins here.
+static void *big_alloc(size_t bytes) { return malloc(bytes); }
+
 constexpr int kDigitBits = 16;
 constexpr int kRadix = 1 << kDigitBits;
 
@@ -145,8 +151,8 @@ extern "C" int64_t kssd_build_postings32(const uint32_t *hashes, int64_t n,
                                          int64_t *starts, int n_threads) {
     if (n_threads < 1) n_threads = 1;
     if (n == 0) return 0;
-    uint64_t *keys = (uint64_t *)malloc(size_t(n) * 8);
-    uint64_t *tmp = (uint64_t *)malloc(size_t(n) * 8);
+    uint64_t *keys = (uint64_t *)big_alloc(size_t(n) * 8);
+    uint64_t *tmp = (uint64_t *)big_alloc(size_t(n) * 8);
     if (!keys || !tmp) {
         free(keys);
         free(tmp);
@@ -226,10 +232,10 @@ extern "C" int64_t kssd_build_postings64(const uint64_t *hashes, int64_t n,
                                          int64_t *starts, int n_threads) {
     if (n_threads < 1) n_threads = 1;
     if (n == 0) return 0;
-    uint64_t *keys = (uint64_t *)malloc(size_t(n) * 8);
-    uint64_t *vals = (uint64_t *)malloc(size_t(n) * 8);
-    uint64_t *tk = (uint64_t *)malloc(size_t(n) * 8);
-    uint64_t *tv = (uint64_t *)malloc(size_t(n) * 8);
+    uint64_t *keys = (uint64_t *)big_alloc(size_t(n) * 8);
+    uint64_t *vals = (uint64_t *)big_alloc(size_t(n) * 8);
+    uint64_t *tk = (uint64_t *)big_alloc(size_t(n) * 8);
+    uint64_t *tv = (uint64_t *)big_alloc(size_t(n) * 8);
     if (!keys || !vals || !tk || !tv) {
         free(keys);
         free(vals);
