@@ -87,6 +87,24 @@ def probe_host(files: list[str]) -> None:
     emit("parse", mbase_per_s=round(total / 1e6 / (time.time() - t0), 1),
          mbase=round(total / 1e6, 1))
 
+    # parse-pool scaling (VERDICT r2 item 7): the sketch scheduler's
+    # bounded parallel parse (sketcher.py gen(); the native parser
+    # releases the GIL) should scale near-linearly to the core count
+    # rather than contend — a TPU-VM host has ~100 cores to feed one
+    # chip's 434 Mbase/s appetite
+    from concurrent.futures import ThreadPoolExecutor
+
+    ncpu = os.cpu_count() or 1
+    for t in (1, 2, 4, 8, 16):
+        if t > ncpu:
+            break
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=t) as ex:
+            tot = sum(r[1] for r in ex.map(lambda p: fasta_packed(p, 0),
+                                           files))
+        emit(f"parse_pool:t{t}",
+             mbase_per_s=round(tot / 1e6 / (time.time() - t0), 1))
+
     params = KssdParams(half_k=10, half_subk=6, drlevel=3)
     halo = S.aligned_halo(params)
     t0 = time.time()
