@@ -333,27 +333,27 @@ def dist_rows(ref: SketchSet, query: SketchSet, common: np.ndarray,
         # native format call per group (dist's threshold is
         # ``<= maxDist``, strict=False; query name prints first with
         # size0 = ref size, order=1)
-        from ..native import NameBlob, format_rows
+        from ..native import NameBlob, format_rows, load_native
 
         nr = len(rnames)
         qblob, rblob = NameBlob(qnames), NameBlob(rnames)
         rg = max(1, _ROWGROUP_CELLS // max(nr, 1))
-        native_ok = True
-        for g0 in range(0, len(qnames), rg):
+        # native availability is decided ONCE, before any group is
+        # emitted: a mid-loop fallback to the scalar path would restart
+        # at query 0 and duplicate already-yielded markers/rows
+        native_ok = load_native() is not None
+        for g0 in range(0, len(qnames), rg) if native_ok else ():
             g1 = min(len(qnames), g0 + rg)
             mask = _candidate_mask(common[g0:g1], rsizes[None, :],
                                    qsizes[g0:g1, None], kmer_size,
                                    max_dist, containment, strict=False)
             ii, jj = np.nonzero(mask)
             vals = common[g0 + ii, jj]
-            fmt = format_rows((g0 + ii).astype(np.int32),
-                              jj.astype(np.int32), vals, qsizes, rsizes,
-                              qblob, rblob, kmer_size, max_dist,
-                              containment, strict=False, order=1)
-            if fmt is None:
-                native_ok = False
-                break
-            buf, row_len = fmt
+            buf, row_len = format_rows(
+                (g0 + ii).astype(np.int32),
+                jj.astype(np.int32), vals, qsizes, rsizes,
+                qblob, rblob, kmer_size, max_dist,
+                containment, strict=False, order=1)
             cum = np.zeros(row_len.size + 1, np.int64)
             np.cumsum(row_len, out=cum[1:])
             bounds = np.searchsorted(ii, np.arange(g1 - g0 + 1))
@@ -546,6 +546,14 @@ class _CsrIndex:
     distance runs; tiles are genome-range filters of the global pair
     list, then remapped onto the tile's shared-column vocabulary and fed
     to the same chunked MXU matmul loop as the recompute path.
+
+    Memory envelope: the resident pair arrays (gids + cols) cost
+    ~8 bytes/nnz, i.e. ~1.2 GB at config-5 scale (100k genomes x
+    ~1.5k hashes = 150M nnz) and ~12 GB at 1M genomes — host RAM, not
+    HBM.  There is deliberately no disk-spill path: the reference
+    streams its whole .dict into RAM too (dist.cpp:107-130), so parity
+    holds, and a corpus whose nnz outgrows host RAM should shard
+    genomes across hosts (parallel/sharded.py) rather than thrash one.
     """
 
     def __init__(self, vocab, offsets, postings, cols=None):
@@ -585,7 +593,11 @@ class _CsrIndex:
             got = build_postings(allh, sizes, bits)
             if got is not None:
                 sh, sg, cols, offsets = got
-                return cls(sh[offsets[:-1]], offsets, sg, cols=cols)
+                # the native build narrows <=32-bit hashes to uint32;
+                # keep the caller's dtype so query_pairs' searchsorted
+                # never promotes+copies the vocab per call
+                vocab = sh[offsets[:-1]].astype(allh.dtype, copy=False)
+                return cls(vocab, offsets, sg, cols=cols)
         gids = np.repeat(np.arange(len(hashes), dtype=np.int32), sizes)
         sh, sg = _sort_postings(allh, gids)
         del allh, gids

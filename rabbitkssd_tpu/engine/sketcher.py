@@ -93,11 +93,17 @@ def keep_rep_np(shuffled_dim: np.ndarray, dim_end: int) -> np.ndarray:
         pad = max(0, 8193 - len(kept))
         return np.concatenate([kept, np.full(pad, -1, np.int32)])
     if strategy == "lane" or jax.default_backend() == "tpu":
-        from ..ops.pallas_member import lane_table_np
+        # decide R (max kept dims per lane, sublane-rounded) BEFORE
+        # building the [R, 128] table — drlevel<3 configs keep 65k+
+        # dims and would otherwise build a >= [512, 128] table only to
+        # discard it
+        valid = kept[kept >= 0].astype(np.int64)
+        counts = np.bincount(valid % 128, minlength=128)
+        R = max(8, -(-int(counts.max(initial=0)) // 8) * 8)
+        if strategy == "lane" or R <= 512:
+            from ..ops.pallas_member import lane_table_np
 
-        lt = lane_table_np(shuffled_dim, dim_end)
-        if strategy == "lane" or lt.shape[0] <= 512:
-            return lt
+            return lane_table_np(shuffled_dim, dim_end)
         return kept  # too many rounds on TPU -> sortjoin branch
     return np.zeros((1, 1), np.int32)  # CPU backends -> gather
 
@@ -967,7 +973,8 @@ class ShardedSketcher:
     """
 
     def __init__(self, params: KssdParams, shuffled_dim: np.ndarray,
-                 mesh=None, n_blocks: int = 4, block: int = 1 << 17,
+                 mesh=None, n_blocks: int | None = None,
+                 block: int = 1 << 17,
                  least_qual: int = 0, least_num_kmer: int = 1,
                  buf_cap: int = 1 << 22, threads: int = 0):
         from ..ops import _config
@@ -976,6 +983,12 @@ class ShardedSketcher:
         _config.start_warm()
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_shards = int(np.prod(self.mesh.devices.shape))
+        if n_blocks is None:
+            # per-SHARD batch sizing inherits the single-chip relay
+            # lessons (DeviceSketcher.__init__): each chip still wants
+            # 8.4 Mbase per dispatch behind a slow link; CPU-mesh tests
+            # keep small batches
+            n_blocks = 64 if jax.default_backend() == "tpu" else 4
         self.params = params
         self.least_qual = least_qual
         self.least_num_kmer = least_num_kmer
@@ -1013,7 +1026,11 @@ class ShardedSketcher:
         L = self.block + halo  # halo'd row length (bases)
         feeder = WordTapeFeeder(genome_codes, S * self.n_blocks,
                                 self.block, halo)
-        window = max(1, min((self.buf_cap // self.cap) - 1, 64))
+        # same flush-window policy as the single-chip path: defer the
+        # first device->host read as long as the carry buffers allow
+        # (KSSD_FLUSH_WINDOW overrides, see DeviceSketcher.sketch_codes)
+        window = max(1, min((self.buf_cap // self.cap) - 1,
+                            int(os.environ.get("KSSD_FLUSH_WINDOW", 512))))
         pending: list[_TapeBatch] = []
         bufs = self._fresh_buffers()
         hash_chunks: list[np.ndarray] = []

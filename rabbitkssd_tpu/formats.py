@@ -303,6 +303,22 @@ def read_index_csr(sketch_path: str, use64: bool):
             f"index/dict size mismatch for {sketch_path}: "
             f"{offsets[-1]} postings expected, {postings.size} found"
         )
+    # the native posting walk's upper-triangle trim (pair_count.cpp
+    # col_lo lower_bound) requires genome ids ASCENDING within each
+    # run.  Our builds and the reference's transSketches both emit
+    # ascending runs, but an externally produced .dict might not —
+    # and a violated invariant silently undercounts.  One vectorized
+    # check; normalize (stable per-run sort) only if violated.
+    if postings.size > 1:
+        dec = postings[1:] < postings[:-1]
+        b = offsets[1:-1]  # run boundaries may decrease (empty runs
+        b = b[(b > 0) & (b < postings.size)]  # index nothing in dec)
+        dec[b - 1] = False
+        if dec.any():
+            run_id = np.repeat(
+                np.arange(len(vocab), dtype=np.int64), seg_counts
+            )
+            postings = postings[np.lexsort((postings, run_id))]
     return vocab, offsets, postings
 
 

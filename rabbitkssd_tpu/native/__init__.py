@@ -154,7 +154,14 @@ def load_native():
 
 
 def _nthreads(n: int) -> int:
-    return max(1, min(os.cpu_count() or 1, 8, n))
+    """Thread count for the native kernels: all host cores by default
+    (the reference uses get_nprocs_conf(), main.cpp:50), overridable
+    with KSSD_NATIVE_THREADS for bandwidth-bound kernels where extra
+    cores stop paying."""
+    cap = int(os.environ.get("KSSD_NATIVE_THREADS", "0")) or (
+        os.cpu_count() or 1
+    )
+    return max(1, min(cap, n))
 
 
 def radix_sort_u64(keys, lo_bit: int, hi_bit: int):
@@ -372,6 +379,10 @@ def scan_nonzero(blk, diag: int):
     return ii, jj, vv
 
 
+# per-call scratch ceiling for format_rows (see its docstring)
+_FORMAT_BUF_BYTES = 128 << 20
+
+
 class NameBlob:
     """Concatenated UTF-8 name bytes + int64 offsets (name k occupies
     ``blob[off[k]:off[k+1]]``) — the zero-copy name table the native
@@ -396,6 +407,12 @@ def format_rows(ii, jj, cc, sizes_i, sizes_j, blob_i: "NameBlob",
     Returns (buf bytes, row_len int32[n]) — row t's text occupies
     ``buf[cum[t]:cum[t+1]]`` where cum = cumsum(row_len); rejected rows
     have length 0.  None if the toolchain is unavailable.
+
+    The scratch buffer is sized at worst case (~96 B + names per
+    candidate); on dense candidate sets (max_dist >= 1, or clustered
+    corpora) one caller group can imply a multi-GB transient, so calls
+    beyond ``_FORMAT_BUF_BYTES`` are split internally on candidate
+    count and the pieces concatenated — callers see one result.
     """
     import ctypes as ct
 
@@ -409,6 +426,38 @@ def format_rows(ii, jj, cc, sizes_i, sizes_j, blob_i: "NameBlob",
     cc = np.ascontiguousarray(cc, np.int32)
     sizes_i = np.ascontiguousarray(sizes_i, np.int64)
     sizes_j = np.ascontiguousarray(sizes_j, np.int64)
+    n = ii.size
+    per_row = blob_i.lens[ii] + blob_j.lens[jj] + 96
+    budget = _FORMAT_BUF_BYTES
+    if int(per_row.sum()) + 96 > budget and n > 1:
+        cum_cap = np.cumsum(per_row)
+        splits = np.searchsorted(
+            cum_cap, np.arange(budget, cum_cap[-1], budget)
+        )
+        bufs, lens = [], []
+        for s0, s1 in zip(np.r_[0, splits], np.r_[splits, n]):
+            if s0 >= s1:
+                continue
+            buf, rl = _format_rows_call(
+                lib, ii[s0:s1], jj[s0:s1], cc[s0:s1], sizes_i, sizes_j,
+                blob_i, blob_j, kmer_size, max_dist, containment,
+                strict, order,
+            )
+            bufs.append(buf)
+            lens.append(rl)
+        return b"".join(bufs), np.concatenate(lens)
+    return _format_rows_call(lib, ii, jj, cc, sizes_i, sizes_j, blob_i,
+                             blob_j, kmer_size, max_dist, containment,
+                             strict, order)
+
+
+def _format_rows_call(lib, ii, jj, cc, sizes_i, sizes_j, blob_i, blob_j,
+                      kmer_size, max_dist, containment, strict, order):
+    """One unchunked kssd_format_rows call (inputs pre-validated)."""
+    import ctypes as ct
+
+    import numpy as np
+
     n = ii.size
     cap = int(blob_i.lens[ii].sum() + blob_j.lens[jj].sum()) + 96 * n + 96
     out = np.empty(cap, np.uint8)

@@ -3,7 +3,7 @@
 Python fallback parser (kseq-equivalent semantics, reference kseq.h) plus
 the input-list sniffers mirroring reference sketch.cpp:52-161.  A native
 C++ streaming reader (the RabbitFX equivalent) plugs in behind the same
-interface for the hot path; see rabbitkssd_tpu/io/native.py.
+interface for the hot path; see rabbitkssd_tpu/native/__init__.py.
 """
 
 from __future__ import annotations
