@@ -135,7 +135,11 @@ public:
             with open(os.path.join(bdir, "stub", h), "w") as f:
                 f.write(stub)
         subprocess.run(
-            ["g++", "-O2", "-fopenmp", "-std=c++14", "-march=native"]
+            # -DTimer turns on the reference's own per-phase stderr
+            # spans (CMakeLists.txt:6-8 default-on), parsed by
+            # parse_ref_phases for the benchmark artifact
+            ["g++", "-O2", "-fopenmp", "-std=c++14", "-march=native",
+             "-DTimer"]
             + sorted(
                 os.path.join(bdir, "src", f)
                 for f in os.listdir(os.path.join(bdir, "src"))
@@ -151,14 +155,54 @@ public:
         return None
 
 
-def run_reference(list_path: str, shuf: str) -> tuple[float, str] | None:
-    """Cached (wall_s, output_path) of reference sketch+alldist."""
+def parse_ref_phases(stderr_text: str) -> dict:
+    """Per-phase walls from the reference's own Timer spans (printed to
+    stderr by default, CMakeLists.txt:6-8; messages at e.g.
+    subCommand.cpp:192, sketch.cpp:588, dist.cpp:134,273,340)."""
+    import re
+
+    frags = [
+        ("sketch", "computing sketches and save sketches"),
+        ("sketch", "read sketches from"),
+        ("index", "transSketches"),
+        ("dist", "read index and offset"),
+        ("dist", "read the index and dict"),
+        ("dist", "distance computing and save"),
+        ("dist", "merge the subFiles"),
+    ]
+    phases: dict[str, float] = {}
+    for line in stderr_text.splitlines():
+        m = re.search(r"time of (.*?) is:? ([0-9.eE+-]+)", line)
+        if not m:
+            continue
+        try:
+            val = float(m.group(2))
+        except ValueError:
+            continue
+        for key, frag in frags:
+            if frag in m.group(1):
+                phases[key] = round(phases.get(key, 0.0) + val, 3)
+                break
+    # the transSketches span (sketch.cpp:588) is NESTED inside the
+    # "computing sketches and save" span (subCommand.cpp:192) — report
+    # the sketch phase net of the index build
+    if "sketch" in phases and "index" in phases:
+        phases["sketch"] = round(max(0.0, phases["sketch"]
+                                     - phases["index"]), 3)
+    return phases
+
+
+def run_reference(list_path: str, shuf: str
+                  ) -> tuple[float, str, dict] | None:
+    """Cached (wall_s, output_path, phases) of reference sketch+alldist."""
     root = os.path.dirname(list_path)
     cache = os.path.join(root, "baseline.json")
     out = os.path.join(root, "ref.alldist")
     if os.path.exists(cache) and os.path.exists(out):
         with open(cache) as f:
-            return json.load(f)["wall_s"], out
+            c = json.load(f)
+        if "phases" in c:
+            return c["wall_s"], out, c["phases"]
     ref = ensure_ref_binary()
     if ref is None:
         return None
@@ -169,17 +213,20 @@ def run_reference(list_path: str, shuf: str) -> tuple[float, str] | None:
     # temp files concatenate the full output path inside <out>.dir,
     # dist.cpp:154) — run with cwd=corpus and relative paths.
     t0 = time.time()
-    subprocess.run(
+    r = subprocess.run(
         [ref, "alldist", "-i", "bacteria.list", "-L", shuf,
          "-o", os.path.basename(out), "-D", str(MAX_DIST)],
-        check=True, capture_output=True, cwd=root,
+        check=True, capture_output=True, text=True, cwd=root,
     )
     wall = time.time() - t0
+    phases = parse_ref_phases(r.stderr)
     # clean reference side artifacts so our run is from scratch
     with open(cache, "w") as f:
-        json.dump({"wall_s": wall, "threads": os.cpu_count()}, f)
-    log(f"reference baseline: {wall:.2f}s ({os.cpu_count()} cores)")
-    return wall, out
+        json.dump({"wall_s": wall, "threads": os.cpu_count(),
+                   "phases": phases}, f)
+    log(f"reference baseline: {wall:.2f}s ({os.cpu_count()} cores) "
+        f"phases={phases}")
+    return wall, out, phases
 
 
 def run_reference_t1(list_path: str, shuf: str) -> str | None:
@@ -229,7 +276,7 @@ def prewarm_ours(shuf_path: str):
 
 
 def run_ours(list_path: str, shuf_path: str,
-             sketcher=None) -> tuple[float, str]:
+             sketcher=None) -> tuple[float, str, dict]:
     from rabbitkssd_tpu.engine.dist_engine import run_alldist
     from rabbitkssd_tpu.engine.sketcher import sketch_file_list
     from rabbitkssd_tpu.shuffle import read_shuffle_file
@@ -246,7 +293,8 @@ def run_ours(list_path: str, shuf_path: str,
     run_alldist(sk, out, max_dist=MAX_DIST, containment=False)
     t2 = time.time()
     log(f"ours: alldist {t2-t1:.2f}s  total {t2-t0:.2f}s")
-    return t2 - t0, out
+    return t2 - t0, out, {"sketch": round(t1 - t0, 3),
+                          "alldist": round(t2 - t1, 3)}
 
 
 def rows(path):
@@ -321,11 +369,19 @@ def main() -> int:
     baseline = run_reference(list_path, shuf_path)
     _config.wait_warm()
     sketcher = prewarm_ours(shuf_path)
-    ours_wall, ours_out = run_ours(list_path, shuf_path, sketcher=sketcher)
+    ours_wall, ours_out, ours_phases = run_ours(list_path, shuf_path,
+                                                sketcher=sketcher)
 
     vs = None
+    result = {
+        "metric": f"sketch+alldist wall, {N_GENOMES} genomes x "
+                  f"{GENOME_LEN/1e6:g}Mb (L3K10, D=0.05)",
+        "value": round(ours_wall, 3),
+        "unit": "s",
+        "vs_baseline": None,
+    }
     if baseline is not None:
-        ref_wall, _ = baseline
+        ref_wall, _, ref_phases = baseline
         # strict check against the deterministic -t 1 reference output
         # (multi-thread runs tie-break the size sort arbitrarily)
         t1_out = run_reference_t1(list_path, shuf_path)
@@ -337,13 +393,20 @@ def main() -> int:
             if not canon:
                 log("WARNING: output rows differ from the reference!")
         vs = ref_wall / ours_wall
-    print(json.dumps({
-        "metric": f"sketch+alldist wall, {N_GENOMES} genomes x "
-                  f"{GENOME_LEN/1e6:g}Mb (L3K10, D=0.05)",
-        "value": round(ours_wall, 3),
-        "unit": "s",
-        "vs_baseline": round(vs, 3) if vs is not None else None,
-    }))
+        result["vs_baseline"] = round(vs, 3)
+        # per-phase honesty: the total ratio can be dominated by the
+        # reference's index build (transSketches is page-fault-bound on
+        # some hosts); the phase walls let a reader attribute the win.
+        # ref phases come from the reference's own Timer spans.
+        result["phases"] = {
+            "ref": {**ref_phases, "total": round(ref_wall, 3)},
+            "ours": {**ours_phases, "total": round(ours_wall, 3)},
+        }
+        if ref_phases.get("sketch") and ours_phases.get("sketch"):
+            result["vs_baseline_sketch_phase"] = round(
+                ref_phases["sketch"] / ours_phases["sketch"], 3)
+        result["rows_equal"] = bool(same)
+    print(json.dumps(result))
     return 0
 
 

@@ -250,17 +250,24 @@ def _stream_step_body(params: KssdParams, cap: int, buf_cap: int,
             pos_space = None
 
         if sorted_space is not None:
-            # compaction in sorted space: one single-key sort moves
-            # survivors to the front (cheaper than cumsum +
-            # sort-searchsorted over the n+K sorted slots)
+            # compaction in sorted space: ONE single-array unstable
+            # sort of a packed key — survivors keep their window
+            # position (>= 0) as the key, non-survivors get bit 30 set
+            # (positions are < 2^25), so ascending order puts survivor
+            # positions first, already in window order.  The barrier
+            # keeps the where-producer out of the sort loop's passes
+            # (see ops/kmer.py sortjoin_keep).
             total = jnp.sum(keep_c.astype(jnp.int32))
-            _, sp2 = jax.lax.sort(
-                ((~keep_c).astype(jnp.int32), pos_space), num_keys=1,
-                is_stable=True)
-            # beyond-total slots carry non-survivor payloads, which are
-            # negative for kept-dim slots; clamp for the takes below
-            # (never read: new_count advances by wrote = min(total,cap))
-            pos_c = jnp.maximum(sp2[:cap], 0)
+            skey = jnp.where(
+                keep_c, pos_space,
+                jnp.int32(1 << 30) | (pos_space + jnp.int32(keep_c.size)))
+            (skey,) = jax.lax.optimization_barrier((skey,))
+            (sp2,) = jax.lax.sort((skey,), num_keys=1, is_stable=False)
+            # beyond-total slots carry marked non-survivor keys; zero
+            # them for the takes below (never read: new_count advances
+            # by wrote = min(total, cap))
+            head = sp2[:cap]
+            pos_c = jnp.where(head < jnp.int32(1 << 30), head, 0)
         else:
             csum = jnp.cumsum(keep_c.astype(jnp.int32))
             total = csum[-1]
@@ -827,18 +834,32 @@ class DeviceSketcher:
         q: queue.Queue = queue.Queue(maxsize=8)
 
         def producer():
-            # NB device_put is async; an in-flight throttle
-            # (block_until_ready N batches back) was tried in round 3
-            # to bound the H2D backlog and cost ~2x wall on the relay
-            # (forcing per-array completion serializes its pipeline) —
-            # the backlog's host copies measure ~1 GB at config-4
-            # scale, an acceptable price for a saturated link.
+            # device_put is async; each in-flight transfer pins a host
+            # staging copy, and on a slow relay link the parse pool
+            # outruns H2D so the backlog grows unbounded (~1 GB peak
+            # RSS at config-4 scale, round 3).  Gate on total in-flight
+            # BYTES, waiting only on the OLDEST transfer when over
+            # budget — the link stays saturated because newer transfers
+            # are already enqueued behind it.  (Round 3 tried forcing
+            # completion of EVERY batch N back and paid 2x wall; the
+            # byte budget keeps the pipeline deep while bounding RSS.)
+            from collections import deque
+
+            budget = int(os.environ.get("KSSD_INFLIGHT_MB", "256")) << 20
+            inflight: deque = deque()
+            cur = 0
             try:
                 for batch in feeder:
-                    q.put((jax.device_put(batch.words),
-                           jax.device_put(
-                               pad_exceptions(batch.exc, flat_size)),
-                           batch))
+                    dw = jax.device_put(batch.words)
+                    de = jax.device_put(
+                        pad_exceptions(batch.exc, flat_size))
+                    q.put((dw, de, batch))
+                    cur += batch.words.nbytes
+                    inflight.append((batch.words.nbytes, dw))
+                    while cur > budget and inflight:
+                        nbytes, arr = inflight.popleft()
+                        jax.block_until_ready(arr)
+                        cur -= nbytes
             except BaseException as e:  # surface in consumer
                 q.put(e)
                 return

@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -25,7 +26,92 @@ namespace {
 // reverted — this container sets THP defrag=madvise, so advised
 // faults pay synchronous compaction (from_hashes 14.5 s -> 25.2 s
 // at 150M pairs).  Plain malloc + parallel first-touch wins here.
-static void *big_alloc(size_t bytes) { return malloc(bytes); }
+
+// Touch every page across threads so the fault cost is paid in
+// parallel up front instead of serially inside the first counting
+// pass (the config-5 index build measured ~13 s of page faults over
+// ~6 GB of fresh buffers, round 3).
+static void parallel_touch(void *p, size_t bytes, int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    char *c = static_cast<char *>(p);
+    size_t chunk = (bytes + n_threads - 1) / n_threads;
+    std::vector<std::thread> th;
+    for (int t = 0; t < n_threads; ++t) {
+        size_t lo = size_t(t) * chunk;
+        size_t hi = std::min(bytes, lo + chunk);
+        if (lo >= hi) break;
+        th.emplace_back([c, lo, hi] {
+            for (size_t i = lo; i < hi; i += 4096) c[i] = 0;
+        });
+    }
+    for (auto &x : th) x.join();
+}
+
+// Process-wide scratch arena: the sort's ping-pong buffers are pure
+// scratch, so reusing them across build calls (strips, repeat runs in
+// one process) skips both the malloc and the refault of multi-GB
+// regions.  Slots are grabbed under a mutex; concurrent builds beyond
+// the slot count fall back to plain malloc.
+struct ArenaSlot {
+    void *p = nullptr;
+    size_t cap = 0;
+    bool busy = false;
+};
+static ArenaSlot g_arena[4];
+static std::mutex g_arena_mu;
+
+struct Scratch {
+    void *p = nullptr;
+    int slot = -1;  // -1: owned malloc, free on release
+};
+
+static Scratch arena_get(size_t bytes, int n_threads) {
+    {
+        std::lock_guard<std::mutex> lk(g_arena_mu);
+        for (int i = 0; i < 4; ++i) {
+            if (g_arena[i].busy) continue;
+            if (g_arena[i].cap >= bytes) {
+                g_arena[i].busy = true;
+                return {g_arena[i].p, i};
+            }
+        }
+        // claim the first free slot for an upgrade
+        for (int i = 0; i < 4; ++i) {
+            if (!g_arena[i].busy) {
+                free(g_arena[i].p);
+                g_arena[i].p = nullptr;
+                g_arena[i].cap = 0;
+                void *p = malloc(bytes);
+                if (!p) return {nullptr, -1};
+                g_arena[i].p = p;
+                g_arena[i].cap = bytes;
+                g_arena[i].busy = true;
+                // touch outside the lock? cheap enough to keep simple:
+                // first-touch below, after release of the lock, would
+                // race a concurrent upgrade of the same slot — the
+                // slot is marked busy, so no other caller can touch it
+                return {p, i};
+            }
+        }
+    }
+    return {malloc(bytes), -1};
+}
+
+static void arena_release(Scratch s) {
+    if (s.slot < 0) {
+        free(s.p);
+        return;
+    }
+    std::lock_guard<std::mutex> lk(g_arena_mu);
+    g_arena[s.slot].busy = false;
+}
+
+static Scratch big_scratch(size_t bytes, int n_threads) {
+    Scratch s = arena_get(bytes, n_threads);
+    if (s.p && s.slot >= 0)  // fresh or reused slot: ensure faulted
+        parallel_touch(s.p, bytes, n_threads);
+    return s;
+}
 
 constexpr int kDigitBits = 16;
 constexpr int kRadix = 1 << kDigitBits;
@@ -151,11 +237,13 @@ extern "C" int64_t kssd_build_postings32(const uint32_t *hashes, int64_t n,
                                          int64_t *starts, int n_threads) {
     if (n_threads < 1) n_threads = 1;
     if (n == 0) return 0;
-    uint64_t *keys = (uint64_t *)big_alloc(size_t(n) * 8);
-    uint64_t *tmp = (uint64_t *)big_alloc(size_t(n) * 8);
+    Scratch skeys = big_scratch(size_t(n) * 8, n_threads);
+    Scratch stmp = big_scratch(size_t(n) * 8, n_threads);
+    uint64_t *keys = (uint64_t *)skeys.p;
+    uint64_t *tmp = (uint64_t *)stmp.p;
     if (!keys || !tmp) {
-        free(keys);
-        free(tmp);
+        arena_release(skeys);
+        arena_release(stmp);
         return -1;
     }
     // genome offsets (prefix of sizes)
@@ -218,8 +306,8 @@ extern "C" int64_t kssd_build_postings32(const uint32_t *hashes, int64_t n,
             });
         for (auto &x : th) x.join();
     }
-    free(keys);
-    free(tmp);
+    arena_release(skeys);
+    arena_release(stmp);
     return nv;
 }
 
@@ -232,15 +320,19 @@ extern "C" int64_t kssd_build_postings64(const uint64_t *hashes, int64_t n,
                                          int64_t *starts, int n_threads) {
     if (n_threads < 1) n_threads = 1;
     if (n == 0) return 0;
-    uint64_t *keys = (uint64_t *)big_alloc(size_t(n) * 8);
-    uint64_t *vals = (uint64_t *)big_alloc(size_t(n) * 8);
-    uint64_t *tk = (uint64_t *)big_alloc(size_t(n) * 8);
-    uint64_t *tv = (uint64_t *)big_alloc(size_t(n) * 8);
+    Scratch sk_ = big_scratch(size_t(n) * 8, n_threads);
+    Scratch sv_ = big_scratch(size_t(n) * 8, n_threads);
+    Scratch stk = big_scratch(size_t(n) * 8, n_threads);
+    Scratch stv = big_scratch(size_t(n) * 8, n_threads);
+    uint64_t *keys = (uint64_t *)sk_.p;
+    uint64_t *vals = (uint64_t *)sv_.p;
+    uint64_t *tk = (uint64_t *)stk.p;
+    uint64_t *tv = (uint64_t *)stv.p;
     if (!keys || !vals || !tk || !tv) {
-        free(keys);
-        free(vals);
-        free(tk);
-        free(tv);
+        arena_release(sk_);
+        arena_release(sv_);
+        arena_release(stk);
+        arena_release(stv);
         return -1;
     }
     std::vector<int64_t> off(size_t(G) + 1);
@@ -300,10 +392,10 @@ extern "C" int64_t kssd_build_postings64(const uint64_t *hashes, int64_t n,
             });
         for (auto &x : th) x.join();
     }
-    free(keys);
-    free(vals);
-    free(tk);
-    free(tv);
+    arena_release(sk_);
+    arena_release(sv_);
+    arena_release(stk);
+    arena_release(stv);
     return nv;
 }
 

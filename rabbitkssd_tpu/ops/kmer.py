@@ -432,13 +432,18 @@ def sortjoin_keep(key, kept):
     n = key.shape[0]
     K = kept.shape[0]
     keys = jnp.concatenate([kept.astype(jnp.int32), key.astype(jnp.int32)])
-    # ties: kept (tag 0) sorts before equal-valued windows (tag 1), so
-    # the scan has seen a dim before any window carrying it
-    tags = jnp.concatenate([jnp.zeros(K, jnp.int32), jnp.ones(n, jnp.int32)])
+    # the position doubles as the tie-break tag: kept slots carry
+    # negative pos, so with pos as the second sort key a kept entry
+    # sorts before every equal-valued window — the scan has seen a dim
+    # before any window carrying it
     pos = jax.lax.broadcasted_iota(jnp.int32, (K + n, 1), 0)[:, 0] - K
-    sk, st, sp = jax.lax.sort((keys, tags, pos), num_keys=2, is_stable=True)
-    seen = jax.lax.cummax(jnp.where(st == 0, sk, jnp.int32(-1)))
-    keep_sorted = (st == 1) & (seen == sk)
+    # materialize the operands: producers fused into the sort re-run
+    # inside every pass of XLA's sort loop (8.0 -> 4.4 ms on a 2.16M
+    # semijoin, measured on v5e, round 4)
+    keys, pos = jax.lax.optimization_barrier((keys, pos))
+    sk, sp = jax.lax.sort((keys, pos), num_keys=2, is_stable=False)
+    seen = jax.lax.cummax(jnp.where(sp < 0, sk, jnp.int32(-1)))
+    keep_sorted = (sp >= 0) & (seen == sk)
     return keep_sorted, sp
 
 
@@ -460,8 +465,14 @@ def searchsorted_i32(a, v):
         [jnp.zeros(n, jnp.int32),
          jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]]
     )
+    # barrier: see sortjoin_keep — fused producers re-execute inside
+    # the sort loop's passes.  Unstable is safe: ties among equal
+    # haystack slots are interchangeable, and equal needles compute
+    # identical insertion points.
+    keys, tags, payload = jax.lax.optimization_barrier(
+        (keys, tags, payload))
     sk, st, sp = jax.lax.sort((keys, tags, payload), num_keys=2,
-                              is_stable=True)
+                              is_stable=False)
     needle = (st == 0).astype(jnp.int32)
     slot = jax.lax.broadcasted_iota(jnp.int32, (n + m, 1), 0)[:, 0]
     vrank = jnp.cumsum(needle) - needle  # needles before this slot

@@ -163,12 +163,24 @@ def probe_device(files: list[str]) -> None:
             out = sk._step(d2, dexc, sk.tables, *sk._fresh_buffers(),
                            jnp.int32(0), vu)
             jax.block_until_ready(out)
-            N = 30
-            t0 = time.time()
-            for _ in range(N):
-                out = sk._step(d2, dexc, sk.tables, *out, jnp.int32(0), vu)
-            jax.block_until_ready(out)
-            dt = (time.time() - t0) / N
+            # marginal cost between queue depths 8 and 16: one final
+            # sync costs a ~30 ms relay round trip and deep unsynced
+            # queues hit erratic relay dispatch stalls, so neither a
+            # synced loop nor a long pipelined loop measures the device
+            # step itself; the depth-8 -> depth-16 delta cancels both
+            # (methodology validated round 4)
+            def run(depth):
+                o = out
+                t0 = time.time()
+                for _ in range(depth):
+                    o = sk._step(d2, dexc, sk.tables, *o, jnp.int32(0),
+                                 vu)
+                jax.block_until_ready(o)
+                return time.time() - t0, o
+
+            t8, out = run(8)
+            t16, out = run(16)
+            dt = (t16 - t8) / 8
             emit(f"step:{name}", ms_per_batch=round(dt * 1e3, 2),
                  mbase_per_s=round(16 * (1 << 17) / 1e6 / dt, 0),
                  keep_rep=list(sk.tables[1].shape))

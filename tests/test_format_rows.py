@@ -109,9 +109,12 @@ def test_dist_rows_chunked_matches_scalar(native, monkeypatch, max_dist):
 
     monkeypatch.setattr(dist_engine, "_ROWGROUP_CELLS", 16)  # ~3 rows/grp
     got = _collect(dist_rows(ref, query, common, k, max_dist, False))
-    # scalar fallback: pretend the toolchain is gone
+    # scalar fallback: pretend the toolchain is gone (dist_rows gates
+    # the native path on load_native() ONCE, before any group — a
+    # mid-loop fallback would duplicate already-yielded rows)
     import rabbitkssd_tpu.native as native_mod
 
+    monkeypatch.setattr(native_mod, "load_native", lambda: None)
     monkeypatch.setattr(native_mod, "format_rows",
                         lambda *a, **kw: None)
     want = _collect(dist_rows(ref, query, common, k, max_dist, False))
