@@ -163,7 +163,12 @@ def parse_ref_phases(stderr_text: str) -> dict:
 
     frags = [
         ("sketch", "computing sketches and save sketches"),
-        ("sketch", "read sketches from"),
+        # NB "read sketches from" (dist.cpp:134) is a plain file load
+        # when .index/.dict exist, but when they are absent the alldist
+        # path rebuilds the dense index INSIDE this span with no
+        # separate Timer line — keep it distinct from "sketch" so an
+        # index-build pathology can't masquerade as sketch time
+        ("load", "read sketches from"),
         ("index", "transSketches"),
         ("dist", "read index and offset"),
         ("dist", "read the index and dict"),

@@ -78,6 +78,59 @@ def build_sketches(n_genomes: int, per_genome: int, cluster: int,
     return hashes
 
 
+def run_reference(hashes, max_dist: float) -> dict | None:
+    """Head-to-head: the reference binary's own alldist on the SAME
+    sketches, consumed from a sketch file we write (interoperability
+    proven by tests/test_index_interop.py).  Its wall includes its own
+    transSketches index build (sketch.cpp:894-1021) + index_tridist
+    posting walk + emission (dist.cpp:22-343) — the exact same work our
+    run_alldist does from a SketchSet.  NB in this path the reference
+    prints no transSketches Timer span: the index build lands inside
+    the "read sketches from file" span, reported as phase "load"."""
+    import resource as _res
+    import subprocess
+
+    import bench  # repo-root module: reference-binary builder + phase parser
+
+    ref_bin = bench.ensure_ref_binary()
+    if ref_bin is None:
+        return None
+    from rabbitkssd_tpu.formats import Sketch, SketchInfo, SketchSet, \
+        save_sketches
+
+    info = SketchInfo(id=(10 << 8) | (6 << 4) | 3, half_k=10, half_subk=6,
+                      drlevel=3, genome_number=len(hashes))
+    sk = SketchSet(info=info, sketches=[
+        Sketch(name=f"g{i:06d}.fna", hashes=h)
+        for i, h in enumerate(hashes)
+    ])
+    root = os.path.join(BENCH_DIR, "config5_ref")
+    os.makedirs(root, exist_ok=True)
+    sk_path = os.path.join(root, "c5.sketch")
+    save_sketches(sk, sk_path)
+    for suffix in (".index", ".dict"):  # force transSketches inside the wall
+        try:
+            os.remove(sk_path + suffix)
+        except OSError:
+            pass
+    before = _res.getrusage(_res.RUSAGE_CHILDREN).ru_maxrss
+    t0 = time.time()
+    # NB the reference segfaults on absolute -o paths (its per-thread
+    # temp files concatenate the output path inside <out>.dir) — run
+    # with cwd=root and relative paths
+    r = subprocess.run([ref_bin, "alldist", "-i", "c5.sketch",
+                        "-o", "c5_ref.dist", "-D", str(max_dist)],
+                       check=True, capture_output=True, text=True, cwd=root)
+    wall = time.time() - t0
+    rss = _res.getrusage(_res.RUSAGE_CHILDREN).ru_maxrss
+    phases = bench.parse_ref_phases(r.stderr)
+    log(f"reference: {wall:.1f}s phases={phases} "
+        f"rss={rss/1e6:.1f}GB (children max, before={before/1e6:.1f}GB)")
+    return {"wall_s": round(wall, 1), "phases": phases,
+            "rss_gb": round(rss / 1e6, 2),
+            "out": os.path.join(root, "c5_ref.dist")}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--genomes", type=int, default=100_000)
@@ -85,6 +138,9 @@ def main() -> int:
     ap.add_argument("--cluster", type=int, default=50)
     ap.add_argument("--shared", type=float, default=0.55)
     ap.add_argument("--max-dist", type=float, default=0.05)
+    ap.add_argument("--ref", action="store_true",
+                    help="also run the reference binary on the same "
+                         "sketches and compare rows set-equal")
     args = ap.parse_args()
 
     from rabbitkssd_tpu.engine.dist_engine import run_alldist
@@ -127,7 +183,7 @@ def main() -> int:
             if checked >= 8:
                 break
 
-    print(json.dumps({
+    result = {
         "config": 5,
         "genomes": args.genomes,
         "nnz": int(sum(h.size for h in hashes)),
@@ -136,7 +192,21 @@ def main() -> int:
         "rows_per_s": round(rows / wall, 0),
         "peak_rss_gb": round(peak_gb, 2),
         "spot_checked": checked,
-    }))
+    }
+    if args.ref:
+        ref = run_reference(hashes, args.max_dist)
+        if ref is not None:
+            def sorted_rows(path):
+                with open(path) as f:
+                    return sorted(f.readlines()[1:])
+
+            result["ref_wall_s"] = ref["wall_s"]
+            result["ref_phases"] = ref["phases"]
+            result["ref_rss_gb"] = ref["rss_gb"]
+            result["vs_reference"] = round(ref["wall_s"] / wall, 2)
+            result["rows_equal"] = (sorted_rows(out)
+                                    == sorted_rows(ref["out"]))
+    print(json.dumps(result))
     return 0
 
 
