@@ -852,7 +852,7 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
         _write_rows(rows, names, output_file)
         return
 
-    from ..utils.timers import progress_bar_size
+    from ..utils.timers import phase, progress_bar_size
 
     sizes = np.array([s.size for s in sk.sketches], np.int64)
     step = progress_bar_size(n)
@@ -863,9 +863,11 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
         # persists it before every alldist, subCommand.cpp:165-169) —
         # one argsort over the nnz; each strip is then one posting walk
         # or one set of matmul tiles, never per-tile re-deduplication
-        csr = _CsrIndex.from_hashes(hashes)
+        with phase("transSketches (in-memory)"):
+            csr = _CsrIndex.from_hashes(hashes)
 
-    g_all, c_all, sbounds = csr.strip_runs(block, n)
+    with phase("strip partition"):
+        g_all, c_all, sbounds = csr.strip_runs(block, n)
 
     def count_strip(strip, i0):
         bi = min(block, n - i0)
@@ -910,7 +912,8 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
                                                containment, step,
                                                blob=blob)
 
-    _write_rows(row_gen(), names, output_file)
+    with phase("distance computing and save"):
+        _write_rows(row_gen(), names, output_file)
 
 
 LEGACY_HEADER_TRI = HEADER

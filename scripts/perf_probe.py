@@ -79,6 +79,18 @@ def probe_host(files: list[str]) -> None:
     from rabbitkssd_tpu.engine import sketcher as S
     from rabbitkssd_tpu.params import KssdParams
 
+    # raw kernel page-fault throughput: first-touch of 2 GB of fresh
+    # calloc pages, one thread.  Healthy hosts do several GB/s; the
+    # round-3/4 container host measures 0.2-0.7 GB/s AND varies ~3x
+    # run-to-run, which dominates any phase that faults multi-GB fresh
+    # buffers (the config-5 index build, the reference's transSketches)
+    # — quote this next to any such wall so the number is attributable
+    t0 = time.time()
+    a = np.zeros(500_000_000, np.uint32)
+    a[::1024] = 1
+    emit("fault_rate", gb_per_s=round(2.0 / (time.time() - t0), 2))
+    del a
+
     if load_native() is None:
         emit("parse", skipped="no native toolchain")
         return
@@ -247,13 +259,78 @@ def probe_device(files: list[str]) -> None:
          nnz=int((out > 0).sum()))
 
 
+def probe_dp_scaling() -> None:
+    """Fixed-work dp scaling of the sharded sketch step on virtual CPU
+    meshes (the measured scaling factor in BASELINE.md's v5e-8
+    projection).  Total work is constant — 16 blocks x 128 Kbase of
+    random codes through make_sharded_sketch_step — while the mesh
+    grows 1 -> 8 devices, each holding 16/n blocks.  Virtual devices
+    are host threads, so on an m-core host the curve saturates at ~m;
+    what the projection needs is the sub-core-count slope (the work
+    division itself is exact and communication-free on dp)."""
+    child = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+import numpy as np, jax
+import jax.numpy as jnp
+from rabbitkssd_tpu.params import KssdParams
+from rabbitkssd_tpu.shuffle import generate_shuffle
+from rabbitkssd_tpu.parallel.sharded import make_mesh, make_sharded_sketch_step
+
+n = int(sys.argv[1])
+params = KssdParams(half_k=10, half_subk=6, drlevel=3)
+shuf = generate_shuffle(10, 6, 3)
+table = jnp.asarray(shuf.shuffled_dim.astype(np.int32))
+block, total_blocks, cap = 1 << 17, 16, 16384
+halo = params.kmer_size - 1
+rng = np.random.default_rng(0)
+rows = rng.integers(0, 4, size=(total_blocks, block + halo), dtype=np.int8)
+mesh = make_mesh(n)
+step = make_sharded_sketch_step(params, mesh, total_blocks // n, block, cap)
+out = step(rows, table)
+jax.block_until_ready(out)
+t0 = time.time()
+iters = 5
+for _ in range(iters):
+    out = step(rows, table)
+jax.block_until_ready(out)
+dt = (time.time() - t0) / iters
+print("MBASE", round(total_blocks * block / 1e6 / dt, 1))
+""".format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    base = None
+    for n in (1, 2, 4, 8):
+        r = subprocess.run([sys.executable, "-c", child, str(n)],
+                           capture_output=True, text=True, env=env,
+                           timeout=1200)
+        line = [ln for ln in r.stdout.splitlines() if ln.startswith("MBASE")]
+        if not line:
+            emit(f"dp_scaling:n{n}", error=r.stderr[-400:])
+            continue
+        v = float(line[0].split()[1])
+        base = base or v
+        emit(f"dp_scaling:n{n}", mbase_per_s=v,
+             speedup=round(v / base, 2))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--genomes", type=int, default=32)
     ap.add_argument("--length", type=int, default=2_000_000)
     ap.add_argument("--host-only", action="store_true")
     ap.add_argument("--device-only", action="store_true")
+    ap.add_argument("--dp-scaling", action="store_true",
+                    help="fixed-work sharded-sketch scaling over 1/2/4/8"
+                         "-device virtual CPU meshes (subprocesses)")
     args = ap.parse_args()
+
+    if args.dp_scaling:
+        probe_dp_scaling()
+        return 0
 
     files = ensure_corpus(args.genomes, args.length)
     if not args.device_only:
