@@ -197,6 +197,36 @@ def parse_ref_phases(stderr_text: str) -> dict:
     return phases
 
 
+def run_measured(cmd: list[str], cwd: str | None = None):
+    """Run cmd, returning (wall_s, maxrss_kb, CompletedProcess).
+
+    The child's peak RSS cannot come from getrusage(RUSAGE_CHILDREN) in
+    the benchmark process itself: fork inherits the parent's RSS for an
+    instant before exec, so a multi-GB benchmark parent masks any
+    smaller child (this silently reported OUR footprint as the
+    reference's in round 4).  A ~15 MB python wrapper forks the child
+    instead, making the inheritance floor negligible."""
+    wrapper = ("import resource,subprocess,sys;"
+               "r=subprocess.run(sys.argv[1:]);"
+               "print('MAXRSS_KB',"
+               "resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss,"
+               "file=sys.stderr);"
+               "sys.exit(r.returncode)")
+    t0 = time.time()
+    r = subprocess.run([sys.executable, "-Sc", wrapper] + cmd,
+                       capture_output=True, text=True, cwd=cwd)
+    wall = time.time() - t0
+    rss_kb = 0
+    keep = []
+    for ln in r.stderr.splitlines():
+        if ln.startswith("MAXRSS_KB"):
+            rss_kb = int(ln.split()[1])
+        else:
+            keep.append(ln)
+    r.stderr = "\n".join(keep)
+    return wall, rss_kb, r
+
+
 def run_reference(list_path: str, shuf: str
                   ) -> tuple[float, str, dict] | None:
     """Cached (wall_s, output_path, phases) of reference sketch+alldist."""

@@ -768,9 +768,10 @@ class DeviceSketcher:
         # (measured round 3), so deferring the first flush until the
         # whole corpus is staged keeps every upload on the fast path
         # for corpora up to window*block bases (~1 Gbase at defaults).
-        # Each pending batch pins its packed words on host (~0.5 MB,
-        # kept only for the rare overflow re-run) — KSSD_FLUSH_WINDOW
-        # bounds that and the survivor-accumulation footprint.
+        # Each pending batch keeps its packed words in HBM (~2 MB,
+        # kept only for the rare overflow re-run; the host copy is
+        # dropped once transferred) — KSSD_FLUSH_WINDOW bounds that and
+        # the survivor-accumulation footprint.
         window = max(1, min((self.buf_cap // self.cap) - 1,
                             int(os.environ.get("KSSD_FLUSH_WINDOW", 512))))
         pending: list[_TapeBatch] = []
@@ -843,19 +844,27 @@ class DeviceSketcher:
             # are already enqueued behind it.  (Round 3 tried forcing
             # completion of EVERY batch N back and paid 2x wall; the
             # byte budget keeps the pipeline deep while bounding RSS.)
+            # Default 512 MB: the round-4 config-4 sweep measured walls
+            # of 23.2 / 16.0 / 15.3 / 15.2 s at 256 / 512 / 1024 MB /
+            # unbounded with peak RSS flat at 3.4-3.7 GB throughout
+            # (freed staging pages stay in malloc arenas, so throttling
+            # below the link's natural depth only stalls the producer)
+            # — 512 keeps the bound for pathological parse/link ratios
+            # at ~5% wall cost.
             from collections import deque
 
-            budget = int(os.environ.get("KSSD_INFLIGHT_MB", "256")) << 20
+            budget = int(os.environ.get("KSSD_INFLIGHT_MB", "512")) << 20
             inflight: deque = deque()
             cur = 0
             try:
                 for batch in feeder:
+                    nb = batch.words.nbytes
                     dw = jax.device_put(batch.words)
                     de = jax.device_put(
                         pad_exceptions(batch.exc, flat_size))
                     q.put((dw, de, batch))
-                    cur += batch.words.nbytes
-                    inflight.append((batch.words.nbytes, dw))
+                    cur += nb
+                    inflight.append((nb, dw))
                     while cur > budget and inflight:
                         nbytes, arr = inflight.popleft()
                         jax.block_until_ready(arr)
@@ -877,6 +886,12 @@ class DeviceSketcher:
                 if isinstance(item, BaseException):
                     raise item
                 d2, dexc, batch = item
+                # pending batches keep their words ONLY for the rare
+                # overflow re-run; retain the DEVICE transfer (HBM,
+                # ~2 MB/batch) and drop the host copy — at the default
+                # 512-batch window the host copies are the whole packed
+                # corpus (~625 MB at config-4 scale, round-4 RSS probe)
+                batch.words = d2
                 if len(pending) == window:
                     flusher.submit(bufs, pending)
                     bufs = self._fresh_buffers()

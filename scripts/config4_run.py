@@ -26,6 +26,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 BENCH_DIR = os.environ.get("KSSD_BENCH_DIR", "/tmp/kssd_bench")
 REF_BIN = os.environ.get("REF_BIN", "/tmp/refbuild/rabbit_kssd")
 
@@ -130,21 +132,19 @@ def run_reference(list_path: str, shuf_path: str) -> dict | None:
         return None
     root = os.path.dirname(list_path)
     out = os.path.join(root, "ref.sketch")
-    t0 = time.time()
+    import bench  # repo-root module
+
     # -t 2: both 1 GB files stay on the kseq small-file path (the stub
     # RabbitFX build aborts on the big-file path) and run in parallel
-    r = subprocess.run(
+    wall, rss_kb, r = bench.run_measured(
         [REF_BIN, "sketch", "-L", shuf_path, "-i",
          os.path.basename(list_path), "-o", os.path.basename(out),
-         "-t", "2", "-q"],
-        cwd=root, capture_output=True, text=True)
+         "-t", "2", "-q"], cwd=root)
     if r.returncode != 0:
         log(f"reference failed: {r.stderr[-500:]}")
         return None
-    wall = time.time() - t0
-    ru = resource.getrusage(resource.RUSAGE_CHILDREN)
     return {"wall_s": round(wall, 2),
-            "peak_rss_gb": round(ru.ru_maxrss / 1e6, 2), "sketch": out}
+            "peak_rss_gb": round(rss_kb / 1e6, 2), "sketch": out}
 
 
 def set_equal(ours_path: str, ref_path: str) -> bool:

@@ -87,9 +87,6 @@ def run_reference(hashes, max_dist: float) -> dict | None:
     run_alldist does from a SketchSet.  NB in this path the reference
     prints no transSketches Timer span: the index build lands inside
     the "read sketches from file" span, reported as phase "load"."""
-    import resource as _res
-    import subprocess
-
     import bench  # repo-root module: reference-binary builder + phase parser
 
     ref_bin = bench.ensure_ref_binary()
@@ -113,21 +110,20 @@ def run_reference(hashes, max_dist: float) -> dict | None:
             os.remove(sk_path + suffix)
         except OSError:
             pass
-    before = _res.getrusage(_res.RUSAGE_CHILDREN).ru_maxrss
-    t0 = time.time()
     # NB the reference segfaults on absolute -o paths (its per-thread
     # temp files concatenate the output path inside <out>.dir) — run
-    # with cwd=root and relative paths
-    r = subprocess.run([ref_bin, "alldist", "-i", "c5.sketch",
-                        "-o", "c5_ref.dist", "-D", str(max_dist)],
-                       check=True, capture_output=True, text=True, cwd=root)
-    wall = time.time() - t0
-    rss = _res.getrusage(_res.RUSAGE_CHILDREN).ru_maxrss
+    # with cwd=root and relative paths.  run_measured isolates the
+    # child's peak RSS from this multi-GB parent (fork inheritance).
+    wall, rss_kb, r = bench.run_measured(
+        [ref_bin, "alldist", "-i", "c5.sketch",
+         "-o", "c5_ref.dist", "-D", str(max_dist)], cwd=root)
+    if r.returncode != 0:
+        log(f"reference failed: {r.stderr[-500:]}")
+        return None
     phases = bench.parse_ref_phases(r.stderr)
-    log(f"reference: {wall:.1f}s phases={phases} "
-        f"rss={rss/1e6:.1f}GB (children max, before={before/1e6:.1f}GB)")
+    log(f"reference: {wall:.1f}s phases={phases} rss={rss_kb/1e6:.1f}GB")
     return {"wall_s": round(wall, 1), "phases": phases,
-            "rss_gb": round(rss / 1e6, 2),
+            "rss_gb": round(rss_kb / 1e6, 2),
             "out": os.path.join(root, "c5_ref.dist")}
 
 
