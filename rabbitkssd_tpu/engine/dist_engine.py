@@ -740,7 +740,17 @@ def _load_csr(sketch_path: str | None, use64: bool,
     got = read_index_csr(sketch_path, use64)
     if got is None:
         return None
-    return _CsrIndex(*got)
+    csr = _CsrIndex(*got)
+    # staleness guard: the reference TRUSTS whatever .index/.dict sit
+    # next to the sketch (dist.cpp:83-130) — combined with its
+    # nondeterministic union/merge hash order, a stale index silently
+    # miscounts (observed: jaccard > 1).  Our artifacts are
+    # deterministic so ours never go stale by rerunning, but a
+    # hand-edited sketch would still desync: reject when the posting
+    # payload no longer matches the sketch nnz and rebuild in memory.
+    if payload_nnz and csr.gids.size != payload_nnz:
+        return None
+    return csr
 
 
 def _use_walk(layout_pack, bi: int, n1: int, col_lo: int = 0) -> bool:

@@ -116,6 +116,15 @@ def config3(root: str, files: list[str], shuf: str) -> dict:
 
     def chain(prefix: str, run, sep: str) -> float:
         """sketch A/B -> union(A) -> sub -> merge -> alldist."""
+        # drop every artifact of a previous run of this prefix: the
+        # reference TRUSTS an existing <m>.sketch.index/.dict
+        # (dist.cpp:83-130) while its union/merge hash ORDER is
+        # hash-set iteration order — nondeterministic across runs —
+        # so a stale index silently miscounts (observed: jaccard 1.04)
+        import glob
+
+        for p in glob.glob(os.path.join(root, f"{prefix}_*")):
+            os.remove(p)
         wall = 0.0
         wall += run(["sketch", "-i", a_list if sep else "c3_a.list",
                      "-o", f"{prefix}_a", "-L", shuf])

@@ -190,6 +190,7 @@ def probe_device(files: list[str]) -> None:
                 jax.block_until_ready(o)
                 return time.time() - t0, o
 
+            _, out = run(8)  # discard: absorbs queue-warmup stalls
             t8, out = run(8)
             t16, out = run(16)
             dt = (t16 - t8) / 8
