@@ -241,6 +241,15 @@ def run_reference(list_path: str, shuf: str
     ref = ensure_ref_binary()
     if ref is None:
         return None
+    # the reference SHORT-CIRCUITS onto an existing <input>.sketch
+    # (subCommand.cpp:161-193) — a leftover from a previous run would
+    # silently replace its whole sketch phase with a 1 s file load and
+    # deflate the baseline.  Both sides must sketch from FASTA.
+    for suffix in (".sketch", ".sketch.index", ".sketch.dict"):
+        try:
+            os.remove(list_path + suffix)
+        except OSError:
+            pass
     # big-file RabbitFX path would abort in the stub build; the corpus
     # files are all below totalSize/threads only when many files — use
     # a thread count that keeps every file on the small-file path.
