@@ -154,8 +154,6 @@ def _alldist_block_rows(names, sizes, common_blk: np.ndarray, i0: int,
     Yields an int genome marker before each genome's rows — the
     :func:`_write_rows` part-index protocol (every genome in [i0,
     i0+R) yields exactly one marker, rows or not)."""
-    from ..native import NameBlob, format_rows
-
     n = len(names)
     R = common_blk.shape[0]
     f = _containment_aaf if containment else _jaccard_mash
@@ -192,46 +190,81 @@ def _alldist_block_rows(names, sizes, common_blk: np.ndarray, i0: int,
                 vals = cblk[bi_nz, j_nz]
         if include_zero:
             vals = cblk[bi_nz, j_nz]
-        sel = _candidate_mask(vals, sizes[i0 + g0 + bi_nz], sizes[j_nz],
-                              kmer_size, max_dist, containment,
-                              strict=True)
-        bi_s, j_s, v_s = bi_nz[sel], j_nz[sel], vals[sel]
-        # candidate run boundaries per row (bi_s is sorted: row-major)
-        bounds = np.searchsorted(bi_s, np.arange(g1 - g0 + 1))
-        if blob is None:
-            blob = NameBlob(names)
-        fmt = format_rows((i0 + g0 + bi_s).astype(np.int32), j_s, v_s,
-                          sizes, sizes, blob, blob, kmer_size, max_dist,
-                          containment, strict=True, order=0)
-        if fmt is not None:
-            buf, row_len = fmt
-            cum = np.zeros(row_len.size + 1, np.int64)
-            np.cumsum(row_len, out=cum[1:])
-            for r in range(g1 - g0):
-                i = i0 + g0 + r
-                if i % step == 0:
-                    print(f"=====finish: {i}", file=sys.stderr)
-                yield i
-                blo = int(cum[bounds[r]])
-                bhi = int(cum[bounds[r + 1]])
-                if bhi > blo:
-                    yield buf[blo:bhi].decode("utf-8")
-            continue
-        for r in range(g1 - g0):
-            i = i0 + g0 + r
+        yield from _emit_candidate_rows(names, sizes, bi_nz, j_nz, vals,
+                                        i0 + g0, g1 - g0, kmer_size,
+                                        max_dist, containment, step,
+                                        blob, f)
+
+
+def _emit_candidate_rows(names, sizes, bi_nz, j_nz, vals, gbase: int,
+                         nrows: int, kmer_size: int, max_dist: float,
+                         containment: bool, step: int, blob, f):
+    """The _write_rows marker/row protocol for global genome rows
+    [gbase, gbase + nrows) given their in-triangle nonzero count
+    triples (``bi_nz`` row-local to gbase, ``j_nz`` global, i-major /
+    j-ascending) — the shared emission tail of the dense-strip scan and
+    the sparse collect path."""
+    from ..native import NameBlob, format_rows
+
+    sel = _candidate_mask(vals, sizes[gbase + bi_nz], sizes[j_nz],
+                          kmer_size, max_dist, containment,
+                          strict=True)
+    bi_s, j_s, v_s = bi_nz[sel], j_nz[sel], vals[sel]
+    # candidate run boundaries per row (bi_s is sorted: row-major)
+    bounds = np.searchsorted(bi_s, np.arange(nrows + 1))
+    if blob is None:
+        blob = NameBlob(names)
+    fmt = format_rows((gbase + bi_s).astype(np.int32), j_s, v_s,
+                      sizes, sizes, blob, blob, kmer_size, max_dist,
+                      containment, strict=True, order=0)
+    if fmt is not None:
+        buf, row_len = fmt
+        cum = np.zeros(row_len.size + 1, np.int64)
+        np.cumsum(row_len, out=cum[1:])
+        for r in range(nrows):
+            i = gbase + r
             if i % step == 0:
                 print(f"=====finish: {i}", file=sys.stderr)
             yield i
-            si = int(sizes[i])
-            for t in range(int(bounds[r]), int(bounds[r + 1])):
-                j = int(j_s[t])
-                c = int(v_s[t])
-                jorc, d = f(c, si, int(sizes[j]), kmer_size)
-                if d < max_dist:
-                    yield (
-                        f"{names[j]}\t{names[i]}\t{c}|"
-                        f"{si}|{int(sizes[j])}\t{_d6(jorc)}\t{_d6(d)}\n"
-                    )
+            blo = int(cum[bounds[r]])
+            bhi = int(cum[bounds[r + 1]])
+            if bhi > blo:
+                yield buf[blo:bhi].decode("utf-8")
+        return
+    for r in range(nrows):
+        i = gbase + r
+        if i % step == 0:
+            print(f"=====finish: {i}", file=sys.stderr)
+        yield i
+        si = int(sizes[i])
+        for t in range(int(bounds[r]), int(bounds[r + 1])):
+            j = int(j_s[t])
+            c = int(v_s[t])
+            jorc, d = f(c, si, int(sizes[j]), kmer_size)
+            if d < max_dist:
+                yield (
+                    f"{names[j]}\t{names[i]}\t{c}|"
+                    f"{si}|{int(sizes[j])}\t{_d6(jorc)}\t{_d6(d)}\n"
+                )
+
+
+def _alldist_triples_rows(names, sizes, triples, nrows: int, i0: int,
+                          n: int, kmer_size: int, max_dist: float,
+                          containment: bool, step: int, blob):
+    """Strip emission from precomputed sparse triples (collect_triples):
+    the dense scan's row grouping is kept only to bound format_rows
+    temporaries; the triples are already i-major / j-ascending /
+    upper-triangle."""
+    bi, j, v = triples
+    f = _containment_aaf if containment else _jaccard_mash
+    rg = max(1, _ROWGROUP_CELLS // max(n, 1))
+    for g0 in range(0, nrows, rg):
+        g1 = min(nrows, g0 + rg)
+        lo, hi = np.searchsorted(bi, [g0, g1])
+        yield from _emit_candidate_rows(names, sizes, bi[lo:hi] - g0,
+                                        j[lo:hi], v[lo:hi], i0 + g0,
+                                        g1 - g0, kmer_size, max_dist,
+                                        containment, step, blob, f)
 
 
 def alldist_rows(sk: SketchSet, common: np.ndarray, kmer_size: int,
@@ -669,6 +702,42 @@ class _CsrIndex:
         total = int(np.sum(k0 * k1, dtype=np.int64))
         return g0, (u0, s0, k0.astype(np.int64), s1, k1, total)
 
+    def collect_triples(self, layout_pack, n_rows: int, n1: int,
+                        diag: int):
+        """Sparse strip counting: the same join the dense walk performs,
+        but expanded to packed i*n1+j keys, radix-sorted, and
+        run-length-counted into (row, col, count) triples — i-major,
+        j-ascending, upper-triangle (j > diag + i) only.
+
+        Memory traffic is O(join) instead of the walk's O(n_rows * n1)
+        strip memset + emission scan; at 1M genomes the dense traffic is
+        ~4 TB across the run while the join is ~2G pairs (BASELINE.md
+        round-4 scaling table).  Returns None when the native toolchain
+        is unavailable (callers fall back to the dense walk)."""
+        from ..native import pair_collect, radix_sort_u64
+
+        g0, (u0, s0, k0, s1, k1, total) = layout_pack
+        keys = pair_collect(g0, s0, k0, self.gids, s1, k1, n1, diag)
+        if keys is None:
+            return None
+        empty = (np.empty(0, np.int32), np.empty(0, np.int32),
+                 np.empty(0, np.int32))
+        if keys.size == 0:
+            return empty
+        bits = max(1, int(n_rows * n1 - 1).bit_length())
+        skeys = radix_sort_u64(keys.view(np.uint64), 0, bits)
+        if skeys is None:  # toolchain raced away mid-call
+            skeys = np.sort(keys.view(np.uint64))
+        flags = np.empty(skeys.size, bool)
+        flags[0] = True
+        np.not_equal(skeys[1:], skeys[:-1], out=flags[1:])
+        starts = np.flatnonzero(flags)
+        v = np.diff(np.append(starts, skeys.size)).astype(np.int32)
+        uk = skeys[starts]
+        bi = (uk // np.uint64(n1)).astype(np.int32)
+        j = (uk % np.uint64(n1)).astype(np.int32)
+        return bi, j, v
+
     def walk(self, blk: np.ndarray, layout_pack, col_lo: int = 0) -> None:
         """Count the layout's rows vs all genomes into blk int32[bi, n]
         (native posting walk; numpy expansion fallback).  col_lo > 0
@@ -751,6 +820,31 @@ def _load_csr(sketch_path: str | None, use64: bool,
     if payload_nnz and csr.gids.size != payload_nnz:
         return None
     return csr
+
+
+def _use_sparse_strip(layout_pack, bi: int, n1: int, col_lo: int,
+                      include_zero: bool) -> bool:
+    """Dispatch between dense strip counting (walk/matmul into a
+    [bi, n1] buffer + full scan) and the sparse expand/sort/run-length
+    path (collect_triples).
+
+    Dense costs ~8 bytes of memory traffic per strip CELL (memset +
+    emission scan); sparse costs ~20-30 bytes per JOINED PAIR (append +
+    2-3 radix passes + run-length).  The crossover is join ~ cells/4;
+    dispatch at cells/8 to keep the well-measured dense path for
+    everything but clearly sparse strips (1M-genome regime: join is
+    ~0.02% of cells).  include_zero (max_dist >= 1) must stay dense —
+    emission then needs every in-triangle cell, not just nonzeros.
+    KSSD_STRIP_MODE in {auto, dense, sparse} overrides."""
+    mode = os.environ.get("KSSD_STRIP_MODE", "auto")
+    if mode == "dense" or include_zero:
+        return False
+    if mode == "sparse":
+        return True
+    _, layout = layout_pack
+    join = layout[-1] * (n1 - col_lo) / max(n1, 1)
+    cells = bi * max(n1 - col_lo, 1)
+    return join * 8 < cells
 
 
 def _use_walk(layout_pack, bi: int, n1: int, col_lo: int = 0) -> bool:
@@ -879,25 +973,37 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
     with phase("strip partition"):
         g_all, c_all, sbounds = csr.strip_runs(block, n)
 
+    include_zero = 1.0 < max_dist
+
     def count_strip(strip, i0):
         bi = min(block, n - i0)
-        common_blk = strip[:bi]
         sl = slice(sbounds[i0 // block], sbounds[i0 // block + 1])
         row_pairs = ((g_all[sl] - i0).astype(np.int32), c_all[sl])
         lp = csr.walk_layout(row_pairs)
+        if _use_sparse_strip(lp, bi, n, i0, include_zero):
+            # sparse strips: the dense walk + emission scan pay
+            # O(bi * n) memory traffic per strip regardless of the join
+            # size — at 1M genomes that is ~4 TB across the run for a
+            # ~2G-pair join.  Expand/sort/run-length the join instead:
+            # traffic O(join).  (include_zero needs every in-triangle
+            # cell, nonzero or not -> dense only.)
+            triples = csr.collect_triples(lp, bi, n, diag=i0)
+            if triples is not None:
+                return ("sparse", triples, bi)
+        common_blk = strip[:bi]
         if _use_walk(lp, bi, n, col_lo=i0):
             # emission only reads j > i >= i0: the walk + memset skip
             # columns < i0 entirely (strictly upper-triangle work;
             # stale strip contents there are never read)
             csr.walk(common_blk, lp, col_lo=i0)
-            return common_blk
+            return ("dense", common_blk, bi)
         # emission reads columns j > i >= i0 only, so tiles with
         # J < I are never needed: strictly upper-triangle work
         for j0 in range(i0, n, block):
             j1 = min(n, j0 + block)
             common_blk[:, j0:j1] = csr.counts(
                 row_pairs, csr.side_pairs(j0, j1), bi, j1 - j0)
-        return common_blk
+        return ("dense", common_blk, bi)
 
     def row_gen():
         # double-buffered strips: strip i0+block counts (device matmuls)
@@ -913,14 +1019,19 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
         with ThreadPoolExecutor(max_workers=1) as ex:
             fut = ex.submit(count_strip, strips[0], 0)
             for k, i0 in enumerate(range(0, n, block)):
-                common_blk = fut.result()
+                kind, data, bi = fut.result()
                 nxt = i0 + block
                 if nxt < n:
                     fut = ex.submit(count_strip, strips[(k + 1) % 2], nxt)
-                yield from _alldist_block_rows(names, sizes, common_blk,
-                                               i0, kmer_size, max_dist,
-                                               containment, step,
-                                               blob=blob)
+                if kind == "sparse":
+                    yield from _alldist_triples_rows(
+                        names, sizes, data, bi, i0, n, kmer_size,
+                        max_dist, containment, step, blob)
+                else:
+                    yield from _alldist_block_rows(names, sizes, data,
+                                                   i0, kmer_size,
+                                                   max_dist, containment,
+                                                   step, blob=blob)
 
     with phase("distance computing and save"):
         _write_rows(row_gen(), names, output_file)

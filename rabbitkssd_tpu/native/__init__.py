@@ -127,6 +127,15 @@ def load_native():
                 ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
                 ct.POINTER(ct.c_int64), ct.c_int,
             ]
+            _LIB.kssd_pair_collect.restype = None
+            _LIB.kssd_pair_collect.argtypes = [
+                ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int64),
+                ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int32),
+                ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
+                ct.c_int64, ct.c_int64, ct.c_int64,
+                ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
+                ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64), ct.c_int,
+            ]
             _LIB.kssd_scan_count.restype = None
             _LIB.kssd_scan_count.argtypes = [
                 ct.POINTER(ct.c_int32), ct.c_int64, ct.c_int64,
@@ -337,6 +346,55 @@ def pair_count_native(g0, s0, k0, g1, s1, k1, out, threads: int = 0,
         list(ex.map(lambda t: run(bounds[t], bounds[t + 1]),
                     range(nthreads)))
     return True
+
+
+def pair_collect(g0, s0, k0, g1, s1, k1, n1: int, diag: int):
+    """Expand the posting join into packed upper-triangle i*n1+j keys
+    (sparse strip counting, stage 1 — see pair_collect.cpp).  Returns
+    an int64 array of one key per joined pair with j > diag + i, in
+    arbitrary order (the caller sorts), or None if the toolchain is
+    unavailable."""
+    import ctypes as ct
+
+    import numpy as np
+
+    lib = load_native()
+    if lib is None:
+        return None
+    g0 = np.ascontiguousarray(g0, np.int32)
+    g1 = np.ascontiguousarray(g1, np.int32)
+    s0 = np.ascontiguousarray(s0, np.int64)
+    k0 = np.ascontiguousarray(k0, np.int64)
+    s1 = np.ascontiguousarray(s1, np.int64)
+    k1 = np.ascontiguousarray(k1, np.int64)
+    n_cols = len(s0)
+    # exclusive prefix of per-column join upper bounds: thread t's
+    # compacted writes start at bound[its first column]
+    bound = np.zeros(n_cols + 1, np.int64)
+    np.cumsum(k0 * k1, out=bound[1:])
+    out = np.empty(int(bound[-1]), np.int64)
+    nt = _nthreads(n_cols)
+    starts = np.zeros(nt, np.int64)
+    counts = np.zeros(nt, np.int64)
+    lib.kssd_pair_collect(
+        g0.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        s0.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        k0.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        g1.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        s1.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        k1.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        ct.c_int64(n_cols), ct.c_int64(n1), ct.c_int64(diag),
+        bound.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        out.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        starts.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        counts.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        ct.c_int(nt),
+    )
+    if nt == 1:
+        return out[: int(counts[0])]
+    return np.concatenate(
+        [out[int(starts[t]) : int(starts[t] + counts[t])]
+         for t in range(nt)])
 
 
 def scan_nonzero(blk, diag: int):
