@@ -227,21 +227,29 @@ def write_index(sk: SketchSet, dict_path: str, index_path: str) -> None:
             f.write(np.ascontiguousarray(counts, dtype="<u4").tobytes())
 
 
+def _read_exact(f, dtype: str, n: int, path: str) -> np.ndarray:
+    """Length-checked binary array read: raises IOError on ANY short
+    read (a truncation not a multiple of the item size would otherwise
+    surface as np.frombuffer's ValueError; reference reads hard-exit on
+    short fread counts, e.g. sketch.cpp:1085-1088)."""
+    dt = np.dtype(dtype)
+    raw = f.read(dt.itemsize * n)
+    if len(raw) != dt.itemsize * n:
+        raise IOError(f"truncated index file {path}")
+    return np.frombuffer(raw, dtype=dt)
+
+
 def read_index(dict_path: str, index_path: str, use64: bool):
     """Returns (counts, postings, hashes64-or-None)."""
     with open(index_path, "rb") as f:
         if use64:
             (n,) = struct.unpack("<Q", f.read(8))
-            hashes = np.frombuffer(f.read(8 * n), dtype="<u8")
-            counts = np.frombuffer(f.read(4 * n), dtype="<u4")
-            if hashes.size != n or counts.size != n:
-                raise IOError(f"truncated index file {index_path}")
+            hashes = _read_exact(f, "<u8", n, index_path)
+            counts = _read_exact(f, "<u4", n, index_path)
         else:
             (hash_size,) = struct.unpack("<Q", f.read(8))
             (total,) = struct.unpack("<Q", f.read(8))
-            counts = np.frombuffer(f.read(4 * hash_size), dtype="<u4")
-            if counts.size != hash_size:
-                raise IOError(f"truncated index file {index_path}")
+            counts = _read_exact(f, "<u4", hash_size, index_path)
             if int(counts.sum(dtype=np.uint64)) != total:
                 raise IOError(f"mismatched total hash number in {index_path}")
             hashes = None
