@@ -34,6 +34,18 @@ N_GENOMES = int(os.environ.get("KSSD_BENCH_GENOMES", "256"))
 GENOME_LEN = int(os.environ.get("KSSD_BENCH_GENOME_LEN", "2000000"))
 MAX_DIST = 0.05
 REF_BIN = os.environ.get("REF_BIN", "/tmp/refbuild/rabbit_kssd")
+# sketch config, e.g. L3K10 (bacteria default) or L2K8 (the drlevel<3
+# keep-test regime, VERDICT r4 item 5); s=6 as in init_shuffle.sh
+CONFIG = os.environ.get("KSSD_BENCH_CONFIG", "L3K10")
+
+
+def _config_kls() -> tuple[int, int, int]:
+    import re
+
+    m = re.fullmatch(r"L(\d+)K(\d+)", CONFIG)
+    if not m:
+        raise SystemExit(f"bad KSSD_BENCH_CONFIG {CONFIG!r} (want LxKy)")
+    return int(m.group(2)), 6, int(m.group(1))
 
 
 def log(*a):
@@ -93,14 +105,15 @@ def ensure_corpus() -> str:
 
 
 def ensure_shuffle() -> str:
-    path = os.path.join(BENCH_DIR, "L3K10.shuf")
+    path = os.path.join(BENCH_DIR, f"{CONFIG}.shuf")
     if not os.path.exists(path):
         from rabbitkssd_tpu.shuffle import generate_shuffle, write_shuffle_file
 
+        k, s, l = _config_kls()
         os.makedirs(BENCH_DIR, exist_ok=True)
         t0 = time.time()
-        write_shuffle_file(generate_shuffle(10, 6, 3), path)
-        log(f"L3K10.shuf generated in {time.time()-t0:.1f}s")
+        write_shuffle_file(generate_shuffle(k, s, l), path)
+        log(f"{CONFIG}.shuf generated in {time.time()-t0:.1f}s")
     return path
 
 
@@ -231,8 +244,8 @@ def run_reference(list_path: str, shuf: str
                   ) -> tuple[float, str, dict] | None:
     """Cached (wall_s, output_path, phases) of reference sketch+alldist."""
     root = os.path.dirname(list_path)
-    cache = os.path.join(root, "baseline.json")
-    out = os.path.join(root, "ref.alldist")
+    cache = os.path.join(root, f"baseline_{CONFIG}.json")
+    out = os.path.join(root, f"ref_{CONFIG}.alldist")
     if os.path.exists(cache) and os.path.exists(out):
         with open(cache) as f:
             c = json.load(f)
@@ -281,7 +294,7 @@ def run_reference_t1(list_path: str, shuf: str) -> str | None:
     the multi-thread run above stays the wall-clock baseline.
     """
     root = os.path.dirname(list_path)
-    out = os.path.join(root, "ref_t1.alldist")
+    out = os.path.join(root, f"ref_t1_{CONFIG}.alldist")
     if os.path.exists(out):
         return out
     ref = ensure_ref_binary()
@@ -326,7 +339,7 @@ def run_ours(list_path: str, shuf_path: str,
     from rabbitkssd_tpu.shuffle import read_shuffle_file
 
     root = os.path.dirname(list_path)
-    out = os.path.join(root, "ours.alldist")
+    out = os.path.join(root, f"ours_{CONFIG}.alldist")
     shuf = read_shuffle_file(shuf_path)
 
     t0 = time.time()
@@ -426,7 +439,7 @@ def main() -> int:
     vs = None
     result = {
         "metric": f"sketch+alldist wall, {N_GENOMES} genomes x "
-                  f"{GENOME_LEN/1e6:g}Mb (L3K10, D=0.05)",
+                  f"{GENOME_LEN/1e6:g}Mb ({CONFIG}, D=0.05)",
         "value": round(ours_wall, 3),
         "unit": "s",
         "vs_baseline": None,

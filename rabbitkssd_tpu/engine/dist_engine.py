@@ -1005,6 +1005,8 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
                 row_pairs, csr.side_pairs(j0, j1), bi, j1 - j0)
         return ("dense", common_blk, bi)
 
+    strip_kinds = {"dense": 0, "sparse": 0}
+
     def row_gen():
         # double-buffered strips: strip i0+block counts (device matmuls)
         # while strip i0's rows emit (host text work) — the reference
@@ -1020,6 +1022,7 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
             fut = ex.submit(count_strip, strips[0], 0)
             for k, i0 in enumerate(range(0, n, block)):
                 kind, data, bi = fut.result()
+                strip_kinds[kind] += 1
                 nxt = i0 + block
                 if nxt < n:
                     fut = ex.submit(count_strip, strips[(k + 1) % 2], nxt)
@@ -1035,6 +1038,10 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
 
     with phase("distance computing and save"):
         _write_rows(row_gen(), names, output_file)
+    # auditable dispatch: the sparse path exists for the 1M-genome
+    # regime — a scaling run must be able to SEE it was selected
+    print(f"strips: {strip_kinds['dense']} dense / "
+          f"{strip_kinds['sparse']} sparse", file=sys.stderr)
 
 
 LEGACY_HEADER_TRI = HEADER

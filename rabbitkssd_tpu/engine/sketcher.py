@@ -777,9 +777,23 @@ class DeviceSketcher:
         pending: list[_TapeBatch] = []
         bufs = self._fresh_buffers()
 
+        # itemized wall budget (cheap perf_counter accumulators; read
+        # via .last_budget): where the sketch phase actually goes, per
+        # pipeline role — the three threads overlap, so components sum
+        # to MORE than the wall unless one role is the bottleneck
+        from time import perf_counter as _pc
+
+        B = {"feed": 0.0, "h2d_put": 0.0, "h2d_wait": 0.0, "qwait": 0.0,
+             "dispatch": 0.0, "flush_scalars": 0.0, "flush_collect": 0.0,
+             "finalize": 0.0, "drain": 0.0, "wall": 0.0,
+             "h2d_bytes": 0, "batches": 0}
+        t_start = _pc()
+
         def flush(cur_bufs, pending_batches):
             *bufarrs, count, overflow = cur_bufs
+            t0 = _pc()
             total, oflow = read_scalars(count, overflow)
+            B["flush_scalars"] += _pc() - t0
             oflow = bool(oflow)
             if oflow:
                 # exact fallback: re-run this window, one batch at a time,
@@ -794,11 +808,15 @@ class DeviceSketcher:
                                     jnp.int32(b.valid_upto))
                     _collect(fb, [b])
             else:
+                t0 = _pc()
                 _collect((*bufarrs, count, overflow), pending_batches,
                          known_total=total)
+                B["flush_collect"] += _pc() - t0
+            t0 = _pc()
             finalizer.add(hash_chunks, pos_chunks,
                           pending_batches[-1].base
                           + pending_batches[-1].valid_upto)
+            B["finalize"] += _pc() - t0
 
         def _collect(cur_bufs, pending_batches, known_total=None):
             buf_lo, buf_hi, buf_pos, buf_batch, count, overflow = cur_bufs
@@ -857,18 +875,30 @@ class DeviceSketcher:
             inflight: deque = deque()
             cur = 0
             try:
-                for batch in feeder:
+                it = iter(feeder)
+                while True:
+                    t0 = _pc()
+                    batch = next(it, None)
+                    B["feed"] += _pc() - t0
+                    if batch is None:
+                        break
                     nb = batch.words.nbytes
+                    t0 = _pc()
                     dw = jax.device_put(batch.words)
                     de = jax.device_put(
                         pad_exceptions(batch.exc, flat_size))
+                    B["h2d_put"] += _pc() - t0
+                    B["h2d_bytes"] += nb
+                    B["batches"] += 1
                     q.put((dw, de, batch))
                     cur += nb
                     inflight.append((nb, dw))
+                    t0 = _pc()
                     while cur > budget and inflight:
                         nbytes, arr = inflight.popleft()
                         jax.block_until_ready(arr)
                         cur -= nbytes
+                    B["h2d_wait"] += _pc() - t0
             except BaseException as e:  # surface in consumer
                 q.put(e)
                 return
@@ -880,7 +910,9 @@ class DeviceSketcher:
         flusher = _AsyncFlusher(flush)
         try:
             while True:
+                t0 = _pc()
                 item = q.get()
+                B["qwait"] += _pc() - t0
                 if item is None:
                     break
                 if isinstance(item, BaseException):
@@ -896,20 +928,30 @@ class DeviceSketcher:
                     flusher.submit(bufs, pending)
                     bufs = self._fresh_buffers()
                     pending = []
+                t0 = _pc()
                 bufs = self._step(d2, dexc, self.tables, *bufs,
                                   jnp.int32(len(pending)),
                                   jnp.int32(batch.valid_upto))
+                B["dispatch"] += _pc() - t0
                 pending.append(batch)
             t.join()
+            t_loop_end = _pc()
             if pending:
                 flusher.submit(bufs, pending)
         finally:
             flusher.shutdown()
         if flusher.error is not None:
             raise flusher.error
+        B["drain"] = _pc() - t_loop_end
 
         self.last_peak_pending = finalizer.peak_pending
-        return finalizer.finish()
+        t0 = _pc()
+        out = finalizer.finish()
+        B["finalize"] += _pc() - t0
+        B["wall"] = _pc() - t_start
+        self.last_budget = {k: (round(v, 4) if isinstance(v, float) else v)
+                            for k, v in B.items()}
+        return out
 
     # -- file-level API -------------------------------------------------------
     def sketch_files(self, files: list[str]) -> SketchSet:

@@ -152,57 +152,70 @@ def probe_device(files: list[str]) -> None:
     emit("h2d", mb_per_s=round(payload.nbytes / 1e6 / dt, 0))
 
     rng = np.random.default_rng(0)
-    # (config, KSSD_KEEP_STRATEGY override or None for the default)
-    configs = {"L3K10": ((10, 6, 3), None), "L2K8": ((8, 6, 2), None),
-               "L3K12": ((12, 6, 3), None)}
-    for name, ((k, s, l), strat) in configs.items():
+    # every shipped .shuf regime (the reference's init_shuffle.sh 12
+    # standard configs + the README's l=5 mammal setting + a use64
+    # config), each with its expected auto keep-strategy on TPU:
+    # drlevel>=3 keeps <=4096 dims -> Pallas lane table; drlevel=2
+    # keeps 65536 -> sorted semijoin (lane table would need R>512
+    # rounds); drlevel=5 keeps 16 -> lane.
+    def _strategy(shape) -> str:
+        if len(shape) == 2:
+            return "gather" if tuple(shape) == (1, 1) else "lane"
+        return "sort" if shape[0] > 8192 else "member"
+
+    std = {f"L{l}K{k}": ((k, 6, l), "lane" if l >= 3 else "sort")
+           for l, ks in ((4, (8, 9, 10, 11)), (3, (8, 9, 10, 11)),
+                         (2, (7, 8, 9, 10)))
+           for k in ks}
+    configs = {**std, "L5K10": ((10, 6, 5), "lane"),
+               "L3K12": ((12, 6, 3), "lane")}
+    only = os.environ.get("KSSD_PROBE_CONFIGS")  # e.g. "L3K10,L2K8"
+    if only:
+        configs = {n: configs[n] for n in only.split(",") if n in configs}
+    for name, ((k, s, l), want_strat) in configs.items():
         shuf = generate_shuffle(k, s, l)
         params = KssdParams(half_k=k, half_subk=s, drlevel=l)
-        prev = os.environ.get("KSSD_KEEP_STRATEGY")
-        if strat is not None:
-            os.environ["KSSD_KEEP_STRATEGY"] = strat
-        try:
-            sk = S.DeviceSketcher(params, shuf.shuffled_dim)
-            halo = S.aligned_halo(params)
-            nw = (1 << 17) // 16 + halo // 16 + 2
-            words = rng.integers(0, 2 ** 32, size=(16, nw),
-                                 dtype=np.uint64).astype(np.uint32)
-            d2 = jax.device_put(words)
-            dexc = jax.device_put(
-                pad_exceptions(np.empty(0, np.int32),
-                               16 * ((1 << 17) + halo)))
-            vu = jnp.int32(16 * (1 << 17))
-            out = sk._step(d2, dexc, sk.tables, *sk._fresh_buffers(),
-                           jnp.int32(0), vu)
-            jax.block_until_ready(out)
-            # marginal cost between queue depths 8 and 16: one final
-            # sync costs a ~30 ms relay round trip and deep unsynced
-            # queues hit erratic relay dispatch stalls, so neither a
-            # synced loop nor a long pipelined loop measures the device
-            # step itself; the depth-8 -> depth-16 delta cancels both
-            # (methodology validated round 4)
-            def run(depth):
-                o = out
-                t0 = time.time()
-                for _ in range(depth):
-                    o = sk._step(d2, dexc, sk.tables, *o, jnp.int32(0),
-                                 vu)
-                jax.block_until_ready(o)
-                return time.time() - t0, o
+        sk = S.DeviceSketcher(params, shuf.shuffled_dim)
+        halo = S.aligned_halo(params)
+        nw = (1 << 17) // 16 + halo // 16 + 2
+        words = rng.integers(0, 2 ** 32, size=(16, nw),
+                             dtype=np.uint64).astype(np.uint32)
+        d2 = jax.device_put(words)
+        dexc = jax.device_put(
+            pad_exceptions(np.empty(0, np.int32),
+                           16 * ((1 << 17) + halo)))
+        vu = jnp.int32(16 * (1 << 17))
+        out = sk._step(d2, dexc, sk.tables, *sk._fresh_buffers(),
+                       jnp.int32(0), vu)
+        jax.block_until_ready(out)
+        # marginal cost between queue depths 8 and 16: one final
+        # sync costs a ~30 ms relay round trip and deep unsynced
+        # queues hit erratic relay dispatch stalls, so neither a
+        # synced loop nor a long pipelined loop measures the device
+        # step itself; the depth-8 -> depth-16 delta cancels both
+        # (methodology validated round 4)
+        def run(depth):
+            o = out
+            t0 = time.time()
+            for _ in range(depth):
+                o = sk._step(d2, dexc, sk.tables, *o, jnp.int32(0),
+                             vu)
+            jax.block_until_ready(o)
+            return time.time() - t0, o
 
-            _, out = run(8)  # discard: absorbs queue-warmup stalls
-            t8, out = run(8)
-            t16, out = run(16)
-            dt = (t16 - t8) / 8
-            emit(f"step:{name}", ms_per_batch=round(dt * 1e3, 2),
-                 mbase_per_s=round(16 * (1 << 17) / 1e6 / dt, 0),
-                 keep_rep=list(sk.tables[1].shape))
-        finally:
-            if strat is not None:
-                if prev is None:
-                    os.environ.pop("KSSD_KEEP_STRATEGY", None)
-                else:
-                    os.environ["KSSD_KEEP_STRATEGY"] = prev
+        _, out = run(8)  # discard: absorbs queue-warmup stalls
+        t8, out = run(8)
+        t16, out = run(16)
+        dt = (t16 - t8) / 8
+        got_strat = _strategy(sk.tables[1].shape)
+        if backend == "tpu" and got_strat != want_strat:
+            emit(f"step:{name}", error=f"auto keep-strategy picked "
+                 f"{got_strat}, expected {want_strat}")
+            continue
+        emit(f"step:{name}", ms_per_batch=round(dt * 1e3, 2),
+             mbase_per_s=round(16 * (1 << 17) / 1e6 / dt, 0),
+             keep_strategy=got_strat,
+             keep_rep=list(sk.tables[1].shape))
 
     # membership strategies on one L3K10 batch of dim_ids
     shuf = generate_shuffle(10, 6, 3)
@@ -318,6 +331,55 @@ print("MBASE", round(total_blocks * block / 1e6 / dt, 1))
              speedup=round(v / base, 2))
 
 
+def probe_phase_budget() -> None:
+    """Itemized budget of the config-1 WARM sketch wall (the one phase
+    the reference wins same-host, VERDICT r4 item 1): runs bench.py's
+    corpus through a prewarmed DeviceSketcher and prints the
+    per-component accumulators from sketch_codes plus derived rates.
+
+    The pipeline is three threads (producer: feed+H2D; consumer:
+    dispatch; flusher: readback+finalize), so components overlap — the
+    bottleneck role is the one whose busy time ~= the wall."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("bench", bench)
+    spec.loader.exec_module(bench)
+
+    from rabbitkssd_tpu.ops import _config
+    from rabbitkssd_tpu.shuffle import read_shuffle_file
+    from rabbitkssd_tpu.engine.sketcher import sketch_file_list
+
+    list_path = bench.ensure_corpus()
+    shuf_path = bench.ensure_shuffle()
+    _config.wait_warm()
+    sk = bench.prewarm_ours(shuf_path)
+    if sk is None:
+        emit("phase_budget", skipped="multi-device backend")
+        return
+    shuf = read_shuffle_file(shuf_path)
+    t0 = time.time()
+    out = sketch_file_list(list_path, shuf, sketcher=sk)
+    wall = time.time() - t0
+    total_bases = sum(s.size for s in out.sketches)  # survivors only
+    b = dict(sk.last_budget)
+    mb = b["h2d_bytes"] / 1e6
+    emit("phase_budget", wall_s=round(wall, 3),
+         corpus_mbase=round(bench.N_GENOMES * bench.GENOME_LEN / 1e6, 1),
+         **{k: v for k, v in b.items() if k != "wall"},
+         sketch_codes_wall=b["wall"],
+         h2d_mb=round(mb, 1),
+         h2d_link_mb_s=round(mb / max(b["h2d_put"] + b["h2d_wait"], 1e-9),
+                             1),
+         producer_busy=round(b["feed"] + b["h2d_put"] + b["h2d_wait"], 3),
+         consumer_busy=round(b["dispatch"], 3),
+         flusher_busy=round(b["flush_scalars"] + b["flush_collect"]
+                            + b["finalize"], 3))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--genomes", type=int, default=32)
@@ -327,10 +389,15 @@ def main() -> int:
     ap.add_argument("--dp-scaling", action="store_true",
                     help="fixed-work sharded-sketch scaling over 1/2/4/8"
                          "-device virtual CPU meshes (subprocesses)")
+    ap.add_argument("--phase-budget", action="store_true",
+                    help="itemized warm config-1 sketch wall budget")
     args = ap.parse_args()
 
     if args.dp_scaling:
         probe_dp_scaling()
+        return 0
+    if args.phase_budget:
+        probe_phase_budget()
         return 0
 
     files = ensure_corpus(args.genomes, args.length)

@@ -136,7 +136,9 @@ def test_two_process_cli_end_to_end(tmp_path):
         with open(os.path.join(d, name), "rb") as f:
             return f.read()
 
-    for name in ("corpus.sketch", "corpus.alldist"):
+    for name in ("corpus.sketch", "corpus.alldist", "rq.dist",
+                 "rq_top2.dist", "u.sketch", "s.sketch", "m.sketch",
+                 "m.info"):
         want = read(single, name)
         assert want, name
         for pid in range(2):
