@@ -350,8 +350,28 @@ def run_ours(list_path: str, shuf_path: str,
     run_alldist(sk, out, max_dist=MAX_DIST, containment=False)
     t2 = time.time()
     log(f"ours: alldist {t2-t1:.2f}s  total {t2-t0:.2f}s")
-    return t2 - t0, out, {"sketch": round(t1 - t0, 3),
-                          "alldist": round(t2 - t1, 3)}
+    phases = {"sketch": round(t1 - t0, 3), "alldist": round(t2 - t1, 3)}
+    if sketcher is not None and getattr(sketcher, "last_budget", None):
+        # itemized sketch-wall budget (see sketcher.sketch_codes): the
+        # pipeline roles overlap, so the wall floor is the max role —
+        # on relay-attached chips that is the H2D link (the first D2H
+        # read permanently drops it ~1300 -> ~36 MB/s, so measure the
+        # LIVE post-run rate and derive the staging floor from it)
+        b = dict(sketcher.last_budget)
+        try:
+            import jax
+
+            probe = np.zeros(2 << 20, np.uint32)  # 8 MB
+            jax.block_until_ready(jax.device_put(probe))
+            tl = time.time()
+            jax.block_until_ready(jax.device_put(probe))
+            link = probe.nbytes / 1e6 / max(time.time() - tl, 1e-9)
+            b["link_mb_s"] = round(link, 1)
+            b["staging_floor_s"] = round(b["h2d_bytes"] / 1e6 / link, 2)
+        except Exception:
+            pass
+        phases["sketch_budget"] = b
+    return t2 - t0, out, phases
 
 
 def rows(path):
