@@ -237,12 +237,21 @@ extern "C" int64_t kssd_build_postings32(const uint32_t *hashes, int64_t n,
                                          int64_t *starts, int n_threads) {
     if (n_threads < 1) n_threads = 1;
     if (n == 0) return 0;
-    Scratch skeys = big_scratch(size_t(n) * 8, n_threads);
+    // Fused pack+sort+unpack, ONE 8n scratch buffer: the first LSD
+    // pass histograms its digit straight off the input hashes (the
+    // genome id derived by walking the per-genome offsets) and
+    // scatters packed (hash<<32 | gid) u64s into scratch; the final
+    // pass scatters sh/sg directly into the caller's output arrays.
+    // Compared to the previous pack -> 2-buffer ping-pong -> unpack
+    // this halves the fresh-buffer footprint (16n -> 8n bytes: the
+    // 1M-genome config-5 build faulted ~6 GB of scratch for a 1.2 GB
+    // resident index on a host whose first-touch path runs at
+    // 0.2-2.2 GB/s) and removes one full read+write pass.
+    // hash_bits <= 28 at drlevel >= 3 (16^(half_k-drlevel) slots), so
+    // 16-bit digits mean exactly two passes: input -> scratch -> out.
     Scratch stmp = big_scratch(size_t(n) * 8, n_threads);
-    uint64_t *keys = (uint64_t *)skeys.p;
     uint64_t *tmp = (uint64_t *)stmp.p;
-    if (!keys || !tmp) {
-        arena_release(skeys);
+    if (!tmp) {
         arena_release(stmp);
         return -1;
     }
@@ -251,27 +260,77 @@ extern "C" int64_t kssd_build_postings32(const uint32_t *hashes, int64_t n,
     off[0] = 0;
     for (int32_t g = 0; g < G; ++g) off[g + 1] = off[g] + sizes[g];
     auto spans = split(n, n_threads);
+
+    const int pass1_bits = hash_bits < kDigitBits ? hash_bits : kDigitBits;
+    const uint32_t mask1 = (uint32_t(1) << pass1_bits) - 1;
+    // pass 1: stable counting sort by the hash's low digit, packing on
+    // the fly.  Each thread walks its span in order, so the genome
+    // cursor advances monotonically in both the histogram and scatter
+    // loops.
     {
+        std::vector<std::vector<int64_t>> hist(
+            n_threads, std::vector<int64_t>(size_t(mask1) + 1, 0));
         std::vector<std::thread> th;
         for (int t = 0; t < n_threads; ++t)
             th.emplace_back([&, t] {
-                int64_t lo = spans[t].lo, hi = spans[t].hi;
-                // first genome overlapping this span
+                auto &h = hist[t];
+                for (int64_t i = spans[t].lo; i < spans[t].hi; ++i)
+                    h[hashes[i] & mask1]++;
+            });
+        for (auto &x : th) x.join();
+        int64_t run = 0;
+        for (uint32_t d = 0; d <= mask1; ++d)
+            for (int t = 0; t < n_threads; ++t) {
+                int64_t c = hist[t][d];
+                hist[t][d] = run;
+                run += c;
+            }
+        th.clear();
+        for (int t = 0; t < n_threads; ++t)
+            th.emplace_back([&, t] {
+                auto &h = hist[t];
+                int64_t lo = spans[t].lo;
                 int32_t g = int32_t(std::upper_bound(off.begin(), off.end(),
                                                      lo) -
                                     off.begin()) -
                             1;
-                for (int64_t i = lo; i < hi; ++i) {
+                for (int64_t i = lo; i < spans[t].hi; ++i) {
                     while (i >= off[g + 1]) ++g;
-                    keys[i] = (uint64_t(hashes[i]) << 32) | uint32_t(g);
+                    tmp[h[hashes[i] & mask1]++] =
+                        (uint64_t(hashes[i]) << 32) | uint32_t(g);
                 }
             });
         for (auto &x : th) x.join();
     }
-    int flip = kssd_radix_sort_u64(keys, tmp, n, 32, 32 + hash_bits,
-                                   n_threads);
-    const uint64_t *src = flip ? tmp : keys;
-    // pass A: boundary counts per span
+    // remaining digit passes: all but the last ping-pong within tmp
+    // would need a second buffer — hash_bits <= 32 means at most ONE
+    // more pass, which scatters straight into (sh, sg)
+    if (hash_bits > kDigitBits) {
+        const int bits = hash_bits - kDigitBits;
+        const uint64_t mask = (uint64_t(1) << bits) - 1;
+        const int shift = 32 + kDigitBits;
+        counting_pass(
+            n, int(mask) + 1, n_threads,
+            [&](int64_t i) { return int((tmp[i] >> shift) & mask); },
+            [&](int64_t i, int64_t o) {
+                sh[o] = uint32_t(tmp[i] >> 32);
+                sg[o] = int32_t(uint32_t(tmp[i]));
+            });
+    } else {
+        auto sp = split(n, n_threads);
+        std::vector<std::thread> th;
+        for (int t = 0; t < n_threads; ++t)
+            th.emplace_back([&, t] {
+                for (int64_t i = sp[t].lo; i < sp[t].hi; ++i) {
+                    sh[i] = uint32_t(tmp[i] >> 32);
+                    sg[i] = int32_t(uint32_t(tmp[i]));
+                }
+            });
+        for (auto &x : th) x.join();
+    }
+    arena_release(stmp);
+    // pass A: boundary counts per span (reads the 4-byte sh, not the
+    // 8-byte packed stream)
     std::vector<int64_t> nb(n_threads);
     {
         std::vector<std::thread> th;
@@ -279,7 +338,7 @@ extern "C" int64_t kssd_build_postings32(const uint32_t *hashes, int64_t n,
             th.emplace_back([&, t] {
                 int64_t c = 0;
                 for (int64_t i = spans[t].lo; i < spans[t].hi; ++i)
-                    if (i == 0 || (src[i] >> 32) != (src[i - 1] >> 32)) ++c;
+                    if (i == 0 || sh[i] != sh[i - 1]) ++c;
                 nb[t] = c;
             });
         for (auto &x : th) x.join();
@@ -290,24 +349,19 @@ extern "C" int64_t kssd_build_postings32(const uint32_t *hashes, int64_t n,
         vbase[t] = nv;
         nv += nb[t];
     }
-    // pass B: unpack + starts + per-pair column ids
+    // pass B: starts + per-pair column ids
     {
         std::vector<std::thread> th;
         for (int t = 0; t < n_threads; ++t)
             th.emplace_back([&, t] {
                 int64_t v = vbase[t];
                 for (int64_t i = spans[t].lo; i < spans[t].hi; ++i) {
-                    if (i == 0 || (src[i] >> 32) != (src[i - 1] >> 32))
-                        starts[v++] = i;
-                    sh[i] = uint32_t(src[i] >> 32);
-                    sg[i] = int32_t(uint32_t(src[i]));
+                    if (i == 0 || sh[i] != sh[i - 1]) starts[v++] = i;
                     cols[i] = int32_t(v - 1);
                 }
             });
         for (auto &x : th) x.join();
     }
-    arena_release(skeys);
-    arena_release(stmp);
     return nv;
 }
 

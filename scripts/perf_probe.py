@@ -173,8 +173,19 @@ def probe_device(files: list[str]) -> None:
     if only:
         configs = {n: configs[n] for n in only.split(",") if n in configs}
     for name, ((k, s, l), want_strat) in configs.items():
+        try:
+            params = KssdParams(half_k=k, half_subk=s, drlevel=l)
+        except ValueError as e:
+            # the reference's own initParameter hard-errors on
+            # half_subk - drlevel < 3 (common.cpp:37-39): the standard
+            # L4*/L5* .shuf files (init_shuffle.sh, s=6) can be
+            # GENERATED (shuffle.cpp only warns) but no binary —
+            # reference or ours — can sketch with them.  Probe rows
+            # document the dead regime instead of a step rate.
+            emit(f"step:{name}", skipped=f"rejected by initParameter "
+                 f"parity: {e}")
+            continue
         shuf = generate_shuffle(k, s, l)
-        params = KssdParams(half_k=k, half_subk=s, drlevel=l)
         sk = S.DeviceSketcher(params, shuf.shuffled_dim)
         halo = S.aligned_halo(params)
         nw = (1 << 17) // 16 + halo // 16 + 2
