@@ -822,6 +822,18 @@ def _load_csr(sketch_path: str | None, use64: bool,
     return csr
 
 
+def _small_n_walk(hashes, n: int) -> bool:
+    """Whether the below-one-block path should build an in-memory index
+    and let _use_walk cost-dispatch (single-device backends only: on a
+    mesh the small-n path stays on sharded_common_counts, which is the
+    multi-process distance contract the multihost tests pin)."""
+    import jax
+
+    if len(jax.devices()) > 1:
+        return False
+    return os.environ.get("KSSD_DIST_PATH", "auto") != "matmul"
+
+
 def _use_sparse_strip(layout_pack, bi: int, n1: int, col_lo: int,
                       include_zero: bool) -> bool:
     """Dispatch between dense strip counting (walk/matmul into a
@@ -947,9 +959,23 @@ def run_alldist(sk: SketchSet, output_file: str, max_dist: float,
     csr = _load_csr(index_path, sk.use64,
                     payload_nnz=int(sum(h.size for h in hashes)))
     if n <= block:
+        if csr is None and _small_n_walk(hashes, n):
+            # cost-dispatch even below one block: the membership
+            # matmul pays O(n^2 * vocab) MXU flops + a [n, vocab]
+            # bf16 build — at low-drlevel configs the vocab is
+            # millions wide (L2K8 bench: 1.9M hashes, 8.7 s) while
+            # the posting-walk join is tens of millions of
+            # memory-speed increments (<0.5 s).  Build the in-memory
+            # index (one nnz-sized sort) and walk.
+            csr = _CsrIndex.from_hashes(hashes)
         if csr is not None:
             pairs = csr.side_pairs(0, n)
-            common = csr.counts(pairs, pairs, n, n)
+            lp = csr.walk_layout(pairs)
+            if _use_walk(lp, n, n):
+                common = np.empty((n, n), np.int32)
+                csr.walk(common, lp)
+            else:
+                common = csr.counts(pairs, pairs, n, n)
         else:
             common = _counts(hashes, None)
         rows = alldist_rows(sk, common, kmer_size, max_dist, containment)
@@ -1174,6 +1200,11 @@ def run_dist(ref: SketchSet, query: SketchSet, output_file: str,
             _tile_counts(common_blk, qh, rh, q0, bq, 0, nr, block)
 
     if nq <= block and nr <= block:
+        if csr is None and _small_n_walk(rh, nr):
+            # same below-one-block cost dispatch as run_alldist: a
+            # wide-vocab membership matmul loses to the posting walk
+            # at low-drlevel sketch densities
+            csr = _CsrIndex.from_hashes(rh)
         if csr is not None:
             common = np.zeros((nq, nr), np.int32)
             blk_counts(common, 0, nq)

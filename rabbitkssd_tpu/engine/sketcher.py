@@ -685,7 +685,12 @@ class DeviceSketcher:
             # 8.4 Mbase batches on TPU: fewer dispatches/transfer round
             # trips on the relay link (215 vs 174 Mbase/s measured on
             # the pre-parsed 256-genome corpus, round 3); CPU backends
-            # keep smaller batches so tests stay light
+            # keep smaller batches so tests stay light.  (The sortjoin
+            # regime's flat sorts are mildly superlinear in batch rows
+            # — 292 -> 213 Mbase/s going 16 -> 64 blocks, round-5 probe
+            # — but smaller batches LOSE far more to the relay's
+            # per-transfer fixed cost; see the producer's transfer
+            # coalescing below.)
             n_blocks = 64 if jax.default_backend() == "tpu" else 16
         self.params = params
         self.least_qual = least_qual
@@ -872,33 +877,77 @@ class DeviceSketcher:
             from collections import deque
 
             budget = int(os.environ.get("KSSD_INFLIGHT_MB", "512")) << 20
+            # transfer coalescing: the relay pays a FIXED per-transfer
+            # cost that varies 20-125 ms between processes (round-5
+            # link probes) — at 2 transfers per batch this dominated
+            # entire sketch walls (L2K8 bench: 490 transfers -> 28 s of
+            # blocking on a bad day).  Stack `coalesce` batches' words
+            # (and their padded exception lists) into ONE device_put
+            # pair; the consumer slices per-batch views on device.
+            coalesce = int(os.environ.get(
+                "KSSD_XFER_COALESCE",
+                "8" if jax.default_backend() == "tpu" else "1"))
             inflight: deque = deque()
             cur = 0
+            # pooled group buffers: stacking into FRESH numpy pages
+            # pays first-touch faults + cold staging reads every ship
+            # (measured 2.7 s over 8 ships on the 4-core host) — reuse
+            # three warm buffers ping-pong, gated on the transfer that
+            # last used each slot (safe whether device_put copies at
+            # call or holds the host buffer)
+            pool: list = [None, None, None, None]
+            n_ships = 0
+
+            def ship(group):
+                nonlocal cur, n_ships
+                t0 = _pc()
+                shape = (len(group),) + group[0].words.shape
+                slot = n_ships % len(pool)
+                n_ships += 1
+                buf, prev = pool[slot] if pool[slot] else (None, None)
+                if prev is not None:
+                    jax.block_until_ready(prev)
+                if buf is None or buf.shape != shape:
+                    buf = np.empty(shape, group[0].words.dtype)
+                for i, b in enumerate(group):
+                    np.copyto(buf[i], b.words)
+                excs = [pad_exceptions(b.exc, flat_size) for b in group]
+                cap_e = max(e.size for e in excs)
+                exc_pad = np.full((len(group), cap_e), flat_size,
+                                  np.int32)
+                for i, e in enumerate(excs):
+                    exc_pad[i, : e.size] = e
+                dws = jax.device_put(buf)
+                des = jax.device_put(exc_pad)
+                pool[slot] = (buf, dws)
+                B["h2d_put"] += _pc() - t0
+                B["h2d_bytes"] += buf.nbytes
+                B["batches"] += len(group)
+                q.put((dws, des, group))
+                cur += buf.nbytes
+                inflight.append((buf.nbytes, dws))
+                t0 = _pc()
+                while cur > budget and inflight:
+                    nbytes, arr = inflight.popleft()
+                    jax.block_until_ready(arr)
+                    cur -= nbytes
+                B["h2d_wait"] += _pc() - t0
+
             try:
                 it = iter(feeder)
+                group: list[_TapeBatch] = []
                 while True:
                     t0 = _pc()
                     batch = next(it, None)
                     B["feed"] += _pc() - t0
                     if batch is None:
                         break
-                    nb = batch.words.nbytes
-                    t0 = _pc()
-                    dw = jax.device_put(batch.words)
-                    de = jax.device_put(
-                        pad_exceptions(batch.exc, flat_size))
-                    B["h2d_put"] += _pc() - t0
-                    B["h2d_bytes"] += nb
-                    B["batches"] += 1
-                    q.put((dw, de, batch))
-                    cur += nb
-                    inflight.append((nb, dw))
-                    t0 = _pc()
-                    while cur > budget and inflight:
-                        nbytes, arr = inflight.popleft()
-                        jax.block_until_ready(arr)
-                        cur -= nbytes
-                    B["h2d_wait"] += _pc() - t0
+                    group.append(batch)
+                    if len(group) == coalesce:
+                        ship(group)
+                        group = []
+                if group:
+                    ship(group)
             except BaseException as e:  # surface in consumer
                 q.put(e)
                 return
@@ -917,23 +966,29 @@ class DeviceSketcher:
                     break
                 if isinstance(item, BaseException):
                     raise item
-                d2, dexc, batch = item
-                # pending batches keep their words ONLY for the rare
-                # overflow re-run; retain the DEVICE transfer (HBM,
-                # ~2 MB/batch) and drop the host copy — at the default
-                # 512-batch window the host copies are the whole packed
-                # corpus (~625 MB at config-4 scale, round-4 RSS probe)
-                batch.words = d2
-                if len(pending) == window:
-                    flusher.submit(bufs, pending)
-                    bufs = self._fresh_buffers()
-                    pending = []
-                t0 = _pc()
-                bufs = self._step(d2, dexc, self.tables, *bufs,
-                                  jnp.int32(len(pending)),
-                                  jnp.int32(batch.valid_upto))
-                B["dispatch"] += _pc() - t0
-                pending.append(batch)
+                dws, des, group = item
+                for i, batch in enumerate(group):
+                    # device-side views of the coalesced transfer (no
+                    # further host traffic)
+                    d2 = dws[i]
+                    dexc = des[i]
+                    # pending batches keep their words ONLY for the
+                    # rare overflow re-run; retain the DEVICE transfer
+                    # (HBM, ~2 MB/batch) and drop the host copy — at
+                    # the default 512-batch window the host copies are
+                    # the whole packed corpus (~625 MB at config-4
+                    # scale, round-4 RSS probe)
+                    batch.words = d2
+                    if len(pending) == window:
+                        flusher.submit(bufs, pending)
+                        bufs = self._fresh_buffers()
+                        pending = []
+                    t0 = _pc()
+                    bufs = self._step(d2, dexc, self.tables, *bufs,
+                                      jnp.int32(len(pending)),
+                                      jnp.int32(batch.valid_upto))
+                    B["dispatch"] += _pc() - t0
+                    pending.append(batch)
             t.join()
             t_loop_end = _pc()
             if pending:
@@ -1063,9 +1118,8 @@ class ShardedSketcher:
         self.n_shards = int(np.prod(self.mesh.devices.shape))
         if n_blocks is None:
             # per-SHARD batch sizing inherits the single-chip relay
-            # lessons (DeviceSketcher.__init__): each chip still wants
-            # 8.4 Mbase per dispatch behind a slow link; CPU-mesh tests
-            # keep small batches
+            # lessons (DeviceSketcher.__init__); CPU-mesh tests keep
+            # small batches
             n_blocks = 64 if jax.default_backend() == "tpu" else 4
         self.params = params
         self.least_qual = least_qual
