@@ -233,3 +233,46 @@ def test_sharded_overflow_finalizes(rng):
     want, _ = ref.sketch_codes(iter(genomes))
     for i, (a, b) in enumerate(zip(got, want)):
         np.testing.assert_array_equal(a, b, err_msg=f"genome {i}")
+
+
+def test_coalesced_transfers_match_and_overflow(rng, monkeypatch):
+    """The producer's transfer coalescing (KSSD_XFER_COALESCE > 1:
+    several batches' words/exceptions stacked into one device_put pair,
+    consumer slicing per-batch device views) must be invisible to
+    results — including partial last groups and the overflow re-run,
+    which re-hashes from the SLICED device words."""
+    from rabbitkssd_tpu.engine.sketcher import make_stream_step
+    from rabbitkssd_tpu.shuffle import generate_shuffle
+
+    shuf = generate_shuffle(5, 4, 1)
+    params = KssdParams(half_k=5, half_subk=4, drlevel=1)
+    # 9 genomes with N runs -> multiple batches, last group partial at
+    # coalesce=4 (batch count not divisible)
+    genomes = []
+    for i in range(9):
+        g = rng.integers(0, 4, size=int(rng.integers(3000, 9000))
+                         ).astype(np.int8)
+        g[50:60] = -1  # invalid-base exceptions ride the stacked pad
+        genomes.append(g)
+
+    monkeypatch.setenv("KSSD_XFER_COALESCE", "4")
+    sk = DeviceSketcher(params, shuf.shuffled_dim, n_blocks=2, block=2048)
+    got, n = sk.sketch_codes(iter([g.copy() for g in genomes]))
+    assert n == len(genomes)
+
+    monkeypatch.setenv("KSSD_XFER_COALESCE", "1")
+    sk2 = DeviceSketcher(params, shuf.shuffled_dim, n_blocks=2, block=2048)
+    want, _ = sk2.sketch_codes(iter([g.copy() for g in genomes]))
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+
+    # overflow re-run under coalescing: batch.words is a device SLICE
+    # of the coalesced transfer
+    monkeypatch.setenv("KSSD_XFER_COALESCE", "4")
+    sk3 = DeviceSketcher(params, shuf.shuffled_dim, n_blocks=2, block=2048)
+    sk3.cap = 64
+    sk3._step = make_stream_step(params, 2, 2048, sk3.cap, sk3.buf_cap)
+    got3, _ = sk3.sketch_codes(iter([g.copy() for g in genomes]))
+    for a, b in zip(got3, want):
+        np.testing.assert_array_equal(a, b)
+    assert max(a.size for a in got3) > 0
