@@ -889,48 +889,39 @@ class DeviceSketcher:
                 "8" if jax.default_backend() == "tpu" else "1"))
             inflight: deque = deque()
             cur = 0
-            # pooled group buffers: stacking into FRESH numpy pages
-            # pays first-touch faults + cold staging reads every ship
-            # (measured 2.7 s over 8 ships on the 4-core host) — reuse
-            # three warm buffers ping-pong, gated on the transfer that
-            # last used each slot (safe whether device_put copies at
-            # call or holds the host buffer)
-            pool: list = [None, None, None, None]
-            n_ships = 0
 
             def ship(group):
-                nonlocal cur, n_ships
+                # words go as SEPARATE async 2 MB puts — measured
+                # async-cheap in every observed process, and deep
+                # pipelining against the link beats one large put
+                # (large coalesced puts block in-call on degraded
+                # processes: L3K10 sketch 4.65 -> 5.8-8.7 s when words
+                # were stacked).  Only the tiny per-batch exception
+                # lists coalesce into one stacked put: ~4 KB transfers
+                # are pure per-transfer fixed cost, which is where the
+                # bad-day budgets put their 12-15 s.
+                nonlocal cur
                 t0 = _pc()
-                shape = (len(group),) + group[0].words.shape
-                slot = n_ships % len(pool)
-                n_ships += 1
-                buf, prev = pool[slot] if pool[slot] else (None, None)
-                if prev is not None:
-                    jax.block_until_ready(prev)
-                if buf is None or buf.shape != shape:
-                    buf = np.empty(shape, group[0].words.dtype)
-                for i, b in enumerate(group):
-                    np.copyto(buf[i], b.words)
                 excs = [pad_exceptions(b.exc, flat_size) for b in group]
                 cap_e = max(e.size for e in excs)
                 exc_pad = np.full((len(group), cap_e), flat_size,
                                   np.int32)
                 for i, e in enumerate(excs):
                     exc_pad[i, : e.size] = e
-                dws = jax.device_put(buf)
                 des = jax.device_put(exc_pad)
-                pool[slot] = (buf, dws)
+                dws = [jax.device_put(b.words) for b in group]
+                nbytes = sum(b.words.nbytes for b in group)
                 B["h2d_put"] += _pc() - t0
-                B["h2d_bytes"] += buf.nbytes
+                B["h2d_bytes"] += nbytes
                 B["batches"] += len(group)
                 q.put((dws, des, group))
-                cur += buf.nbytes
-                inflight.append((buf.nbytes, dws))
+                cur += nbytes
+                inflight.append((nbytes, dws[-1]))
                 t0 = _pc()
                 while cur > budget and inflight:
-                    nbytes, arr = inflight.popleft()
+                    nb_, arr = inflight.popleft()
                     jax.block_until_ready(arr)
-                    cur -= nbytes
+                    cur -= nb_
                 B["h2d_wait"] += _pc() - t0
 
             try:
@@ -968,8 +959,9 @@ class DeviceSketcher:
                     raise item
                 dws, des, group = item
                 for i, batch in enumerate(group):
-                    # device-side views of the coalesced transfer (no
-                    # further host traffic)
+                    # per-batch words transfer + a device-side slice of
+                    # the coalesced exception stack (no further host
+                    # traffic)
                     d2 = dws[i]
                     dexc = des[i]
                     # pending batches keep their words ONLY for the
