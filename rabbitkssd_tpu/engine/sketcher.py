@@ -10,9 +10,9 @@ single compiled device program:
 
     hash windows (ops/kmer.py)  ->  on-device compaction
 
-The compaction is gather-based (cumsum of the keep mask + searchsorted +
-take), not scatter/sort-based: only the ~16**-drlevel surviving hashes and
-their tape positions cross the device->host link.  Capacity overflow (more
+The compaction is rank-scatter-based (cumsum of the keep mask, then each
+survivor scatters its position to slot rank-1): only the ~16**-drlevel
+surviving hashes and their tape positions cross the device->host link.  Capacity overflow (more
 survivors than the static buffer) is detected exactly via the returned
 count and handled by re-running that batch at full capacity — results are
 always exact.
@@ -47,7 +47,6 @@ from ..ops.kmer import (
     member_kept,
     pack_words_np,
     pad_exceptions,
-    searchsorted_i32,
     sortjoin_keep,
 )
 
@@ -233,8 +232,19 @@ def _stream_step_body(params: KssdParams, cap: int, buf_cap: int,
             gflag = (keep.reshape(G, 32).sum(axis=1, dtype=jnp.int32) > 0)
             gcsum = jnp.cumsum(gflag.astype(jnp.int32))
             n_sel = gcsum[-1]
-            gt = jnp.arange(1, g_cap + 1, dtype=jnp.int32)
-            sel = jnp.minimum(searchsorted_i32(gcsum, gt), G - 1)
+            # rank-scatter selection: flagged group g lands at slot
+            # rank(g)-1; unflagged groups get UNIQUE out-of-range
+            # sentinels (mode="drop"; unique_indices must stay honest).
+            # Measured 0.35 ms -> ~0 vs the sort-based searchsorted at
+            # this shape (round 5).  Slots beyond n_sel stay 0 -> they
+            # alias group 0, masked below by grp_ok.
+            gidx = jnp.where(
+                gflag, gcsum - 1,
+                g_cap + jax.lax.broadcasted_iota(jnp.int32, (G,), 0))
+            sel = (jnp.zeros(g_cap, jnp.int32)
+                   .at[gidx].set(jax.lax.broadcasted_iota(jnp.int32,
+                                                          (G,), 0),
+                                 mode="drop", unique_indices=True))
             sub_pos = (
                 sel[:, None] * 32
                 + jnp.arange(32, dtype=jnp.int32)[None, :]
@@ -269,11 +279,22 @@ def _stream_step_body(params: KssdParams, cap: int, buf_cap: int,
             head = sp2[:cap]
             pos_c = jnp.where(head < jnp.int32(1 << 30), head, 0)
         else:
+            # exact compaction by rank scatter: survivor i lands at
+            # slot rank(i)-1 (ascending window order, exactly the old
+            # searchsorted result over the filled prefix; measured
+            # 1.35 -> 0.52 ms at the 131k->16k shape, round 5).
+            # Beyond-total slots stay 0 — never read (new_count
+            # advances by wrote = min(total, cap)).
             csum = jnp.cumsum(keep_c.astype(jnp.int32))
             total = csum[-1]
-            targets = jnp.arange(1, cap + 1, dtype=jnp.int32)
-            pos = searchsorted_i32(csum, targets)
-            pos_c = jnp.minimum(pos, csum.size - 1)
+            m = keep_c.size
+            ranks = jnp.where(
+                keep_c, csum - 1,
+                cap + jax.lax.broadcasted_iota(jnp.int32, (m,), 0))
+            pos_c = (jnp.zeros(cap, jnp.int32)
+                     .at[ranks].set(jax.lax.broadcasted_iota(jnp.int32,
+                                                             (m,), 0),
+                                    mode="drop", unique_indices=True))
             if pos_space is not None:
                 pos_c = jnp.take(pos_space, pos_c)
         if use_member:
