@@ -281,6 +281,13 @@ def main() -> int:
             legs = one_trial(t, rng, ref_bin, root)
             legs_total += len(legs) - 1
             log(f"trial {t}: OK  {'; '.join(legs)}")
+            # a passing trial's artifacts include GB-scale dense
+            # .index files (16^(k-l) slots is the WIRE FORMAT at
+            # 32-bit width) — delete as we go or 40 trials fill a
+            # disk; failures keep theirs for reproduction
+            import shutil
+
+            shutil.rmtree(os.path.join(root, f"t{t}"), ignore_errors=True)
         except AssertionError as e:
             failures.append({"trial": t, "seed": args.seed, "err": str(e)})
             log(f"trial {t}: FAIL {e}")
